@@ -1,0 +1,14 @@
+from .conv import SIRConv, SIRConvBase, SIREConv, SIREConvBase
+from .layers import Embed, Linear
+from .norm import (
+    ContraNorm,
+    GraphBatchNorm,
+    GraphContraNorm,
+    GraphIdentity,
+    GraphLayerNorm,
+    GraphNorm,
+    LayerNorm,
+    MaskedBatchNorm,
+    get_norm,
+)
+from .utils import MLP, CentralityEncoder, VirtualNode

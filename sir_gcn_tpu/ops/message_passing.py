@@ -1,0 +1,191 @@
+"""The SIR-GCN message-passing pipeline: gather -> edge transform -> reduce.
+
+This is the framework's core compute op — the TPU-native equivalent of the
+reference's ``graph.update_all(message_func, reduce)`` call
+(``/root/reference/models/conv.py:63,130,174,218``), expressed as one
+functional pipeline XLA can fuse, with an optional Pallas fast path
+(``sir_gcn_tpu.ops.pallas``) selected via :func:`set_backend`.
+
+Math contract (preserved exactly from ``models/conv.py``):
+
+  sum/mean/sym:  h*_u = reduce_{(v,u) in E} s_vu * sigma(eq_u + ek_v [+ e_vu])
+                 followed by the *hoisted* W_R applied per node (conv.py:65)
+  max:           h*_u = max_{(v,u)} W_R sigma(eq_u + ek_v [+ e_vu])
+                 (W_R per edge, before the reduce — conv.py:47)
+  sym scale:     s_vu = out_deg(v)^-1/2 * in_deg(u)^-1/2, degrees clamped >= 1
+                 (conv.py:51-57); s_vu = 1 otherwise.
+
+Empty-neighborhood semantics follow DGL: sum/mean -> 0, max -> 0 (zero fill).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..graph import GraphBatch
+from . import segment as seg
+
+_BACKEND = "xla"  # 'xla' | 'pallas'
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    assert name in ("xla", "pallas"), name
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def _edge_scale(graph: GraphBatch, agg_type: str) -> Optional[jax.Array]:
+    """Per-edge symmetric-norm scale s_vu, or None for non-sym aggregators."""
+    if agg_type != "sym":
+        return None
+    in_norm = jnp.power(jnp.maximum(graph.in_deg, 1.0), -0.5)
+    out_norm = jnp.power(jnp.maximum(graph.out_deg, 1.0), -0.5)
+    return jnp.take(out_norm, graph.src) * jnp.take(in_norm, graph.dst)
+
+
+def sir_aggregate(
+    graph: GraphBatch,
+    eq: jax.Array,
+    ek: jax.Array,
+    activation: Callable[[jax.Array], jax.Array],
+    agg_type: str = "sum",
+    *,
+    e: Optional[jax.Array] = None,
+    w_relation: Optional[jax.Array] = None,
+    b_relation: Optional[jax.Array] = None,
+    edge_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Fused SIR edge aggregation.
+
+    Parameters
+    ----------
+    eq, ek : [N_pad, H]
+        Query (dst-side) and key (src-side) node projections.
+    activation : callable
+        sigma. Any jittable elementwise or row-wise function (the
+        Base variants pass an MLP here).
+    agg_type : 'sum' | 'mean' | 'max' | 'sym'
+    e : optional [E_pad, H]
+        Edge-feature projection in *sorted edge order* (caller gathers via
+        ``graph.edge_perm``); added inside sigma (conv.py:111).
+    w_relation, b_relation : optional [H, O] / [O]
+        Required for ``max``: the per-edge W_R applied before the reduce.
+        Ignored for linear aggregators (the caller hoists W_R per node).
+    edge_mask : optional bool [E_pad]
+        Extra mask (DropEdge); combined with the padding mask.
+
+    Returns
+    -------
+    [N_pad, H] for linear aggregators, [N_pad, O] for max.
+    """
+    if agg_type not in ("sum", "mean", "max", "sym"):
+        raise NotImplementedError(f"agg_type = {agg_type} not implemented")
+
+    valid = graph.edge_mask if edge_mask is None else jnp.logical_and(
+        graph.edge_mask, edge_mask
+    )
+    n = graph.n_pad
+
+    z = jnp.take(eq, graph.dst, axis=0) + jnp.take(ek, graph.src, axis=0)
+    if e is not None:
+        z = z + e
+    m = activation(z)
+
+    if agg_type == "max":
+        assert w_relation is not None, "max aggregation needs W_R per edge"
+        m = m @ w_relation
+        if b_relation is not None:
+            m = m + b_relation
+        return seg.segment_max(m, graph.dst, n, valid)
+
+    scale = _edge_scale(graph, agg_type)
+    vmask = valid.reshape((-1,) + (1,) * (m.ndim - 1))
+    if scale is not None:
+        m = m * scale.reshape(vmask.shape)
+    m = jnp.where(vmask, m, 0.0)
+
+    if agg_type == "mean":
+        counts = seg.segment_sum(valid.astype(m.dtype), graph.dst, n)
+        return seg.segment_mean(m, graph.dst, n, counts)
+    return seg.segment_sum(m, graph.dst, n)
+
+
+def sir_aggregate_concat(
+    graph: GraphBatch,
+    eq: jax.Array,
+    ek: jax.Array,
+    message_func: Callable[[jax.Array], jax.Array],
+    agg_type: str = "sum",
+    *,
+    e: Optional[jax.Array] = None,
+    edge_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Generic concatenated form ``reduce g([h_u || (h_uv ||) h_v])`` used by
+    ``SIRConvBase`` / ``SIREConvBase`` (conv.py:156-158, 199-201).
+
+    ``message_func`` g is an arbitrary jittable row-wise module applied to the
+    per-edge concatenation; degree scaling applies for 'sym'.
+    """
+    if agg_type not in ("sum", "mean", "max", "sym"):
+        raise NotImplementedError(f"agg_type = {agg_type} not implemented")
+
+    valid = graph.edge_mask if edge_mask is None else jnp.logical_and(
+        graph.edge_mask, edge_mask
+    )
+    n = graph.n_pad
+
+    parts = [jnp.take(eq, graph.dst, axis=0)]
+    if e is not None:
+        parts.append(e)
+    parts.append(jnp.take(ek, graph.src, axis=0))
+    m = message_func(jnp.concatenate(parts, axis=-1))
+
+    if agg_type == "max":
+        return seg.segment_max(m, graph.dst, n, valid)
+
+    scale = _edge_scale(graph, agg_type)
+    vmask = valid.reshape((-1,) + (1,) * (m.ndim - 1))
+    if scale is not None:
+        m = m * scale.reshape(vmask.shape)
+    m = jnp.where(vmask, m, 0.0)
+
+    if agg_type == "mean":
+        counts = seg.segment_sum(valid.astype(m.dtype), graph.dst, n)
+        return seg.segment_mean(m, graph.dst, n, counts)
+    return seg.segment_sum(m, graph.dst, n)
+
+
+def copy_src_aggregate(
+    graph: GraphBatch,
+    x: jax.Array,
+    agg_type: str = "sum",
+    *,
+    edge_scale: Optional[jax.Array] = None,
+    edge_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``update_all(fn.copy_u, fn.sum|mean|max)`` — the plain SpMM used by the
+    Correct & Smooth label-spreading loop
+    (``benchmark-datasets/ogbn-arxiv/correct_and_smooth.py:41-58``) and by
+    GCN/GIN-style baseline convs."""
+    valid = graph.edge_mask if edge_mask is None else jnp.logical_and(
+        graph.edge_mask, edge_mask
+    )
+    n = graph.n_pad
+    m = jnp.take(x, graph.src, axis=0)
+    if agg_type == "max":
+        return seg.segment_max(m, graph.dst, n, valid)
+    vmask = valid.reshape((-1,) + (1,) * (m.ndim - 1))
+    if edge_scale is not None:
+        m = m * edge_scale.reshape(vmask.shape)
+    m = jnp.where(vmask, m, 0.0)
+    if agg_type == "mean":
+        counts = seg.segment_sum(valid.astype(m.dtype), graph.dst, n)
+        return seg.segment_mean(m, graph.dst, n, counts)
+    return seg.segment_sum(m, graph.dst, n)

@@ -1,0 +1,174 @@
+"""SIRConv family layer tests: parameter structure, parity with the
+reference equation, dropout/determinism behavior."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sir_gcn_tpu import build_graph
+from sir_gcn_tpu.models import MLP, SIRConv, SIRConvBase, SIREConv, SIREConvBase
+
+
+def make_graph(rng, n=12, e=40, n_pad=16, e_pad=64):
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    return build_graph(src, dst, n, n_pad=n_pad, e_pad=e_pad), src, dst
+
+
+def dense_sir_oracle(src, dst, n, feat, params, act, agg):
+    """Evaluate h*_u = agg W_R act(W_Q h_u + W_K h_v) directly from the
+    extracted flax params (models/conv.py:7-67 contract)."""
+    p = params["params"]
+    wq = np.asarray(p["linear_query"]["Dense_0"]["kernel"])
+    bq = np.asarray(p["linear_query"]["Dense_0"]["bias"])
+    wk = np.asarray(p["linear_key"]["Dense_0"]["kernel"])
+    if agg == "max":
+        wr = np.asarray(p["relation_kernel"])
+        br = np.asarray(p["relation_bias"])
+    else:
+        wr = np.asarray(p["linear_relation"]["Dense_0"]["kernel"])
+        br = np.asarray(p["linear_relation"]["Dense_0"]["bias"])
+    eq = feat @ wq + bq
+    ek = feat @ wk
+    in_deg = np.bincount(dst, minlength=n).astype(np.float64)
+    out_deg = np.bincount(src, minlength=n).astype(np.float64)
+    in_norm = np.maximum(in_deg, 1) ** -0.5
+    out_norm = np.maximum(out_deg, 1) ** -0.5
+
+    msgs = [[] for _ in range(n)]
+    for s, d in zip(src, dst):
+        m = act(eq[d] + ek[s])
+        if agg == "max":
+            m = m @ wr + br
+        elif agg == "sym":
+            m = m * out_norm[s] * in_norm[d]
+        msgs[d].append(m)
+    hidden = wr.shape[0] if agg != "max" else None
+    out = np.zeros((n, wr.shape[1]))
+    for u in range(n):
+        if msgs[u]:
+            arr = np.stack(msgs[u])
+            red = (arr.max(0) if agg == "max"
+                   else arr.mean(0) if agg == "mean" else arr.sum(0))
+        else:
+            red = np.zeros(wr.shape[1] if agg == "max" else hidden)
+        out[u] = red if agg == "max" else red @ wr + br
+    return out
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean", "max", "sym"])
+def test_sirconv_matches_oracle(rng, agg):
+    g, src, dst = make_graph(rng)
+    feat = rng.normal(size=(16, 6)).astype(np.float32)
+    conv = SIRConv(hidden_dim=8, output_dim=5, activation=jnp.tanh,
+                   agg_type=agg)
+    params = conv.init(jax.random.PRNGKey(0), g, jnp.asarray(feat))
+    out = conv.apply(params, g, jnp.asarray(feat))
+    exp = dense_sir_oracle(src, dst, 12, feat, params, np.tanh, agg)
+    np.testing.assert_allclose(np.asarray(out)[:12], exp, atol=1e-4)
+
+
+def test_sireconv_edge_features_matter(rng):
+    g, src, dst = make_graph(rng)
+    feat = jnp.asarray(rng.normal(size=(16, 6)), jnp.float32)
+    ef1 = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+    ef2 = ef1.at[0, 0].add(10.0)
+    conv = SIREConv(hidden_dim=8, output_dim=5, activation=jnp.tanh)
+    params = conv.init(jax.random.PRNGKey(0), g, feat, ef1)
+    o1 = conv.apply(params, g, feat, ef1)
+    o2 = conv.apply(params, g, feat, ef2)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_sireconv_matches_sirconv_with_zero_edges(rng):
+    """With zero edge features, SIREConv == SIRConv given identical params."""
+    g, src, dst = make_graph(rng)
+    feat = jnp.asarray(rng.normal(size=(16, 6)), jnp.float32)
+    ef = jnp.zeros((64, 3), jnp.float32)
+    econv = SIREConv(hidden_dim=8, output_dim=5, activation=jnp.tanh)
+    conv = SIRConv(hidden_dim=8, output_dim=5, activation=jnp.tanh)
+    eparams = econv.init(jax.random.PRNGKey(0), g, feat, ef)
+    cparams = {"params": {k: v for k, v in eparams["params"].items()
+                          if k != "linear_edge"}}
+    o1 = econv.apply(eparams, g, feat, ef)
+    o2 = conv.apply(cparams, g, feat)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_base_forms(rng):
+    g, src, dst = make_graph(rng)
+    feat = jnp.asarray(rng.normal(size=(16, 6)), jnp.float32)
+    ef = jnp.asarray(rng.normal(size=(64, 4)), jnp.float32)
+
+    msg = MLP(input_dim=12, hidden_dim=8, output_dim=8, num_layers=2,
+              dropout=0.0, norm="none", activation=jax.nn.relu,
+              with_graph=False)
+    conv = SIRConvBase(message_func=lambda m: msg_bound(m), agg_type="sum")
+
+    # bind the MLP inside the base conv via a wrapper module
+    class Wrapper(nn.Module):
+        @nn.compact
+        def __call__(self, g, x):
+            mlp = MLP(input_dim=12, hidden_dim=8, output_dim=8, num_layers=2,
+                      dropout=0.0, norm="none", activation=jax.nn.relu,
+                      with_graph=False)
+            return SIRConvBase(message_func=lambda m: mlp(m),
+                               agg_type="sum")(g, x)
+
+    w = Wrapper()
+    params = w.init(jax.random.PRNGKey(0), g, feat)
+    out = w.apply(params, g, feat)
+    assert out.shape == (16, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+    class EWrapper(nn.Module):
+        @nn.compact
+        def __call__(self, g, x, e):
+            mlp = MLP(input_dim=16, hidden_dim=8, output_dim=8, num_layers=2,
+                      dropout=0.0, norm="none", activation=jax.nn.relu,
+                      with_graph=False)
+            return SIREConvBase(message_func=lambda m: mlp(m),
+                                agg_type="sym")(g, x, e)
+
+    ew = EWrapper()
+    eparams = ew.init(jax.random.PRNGKey(0), g, feat, ef)
+    eout = ew.apply(eparams, g, feat, ef)
+    assert eout.shape == (16, 8)
+    assert np.isfinite(np.asarray(eout)).all()
+
+
+def msg_bound(m):  # placeholder symbol used above before Wrapper definition
+    raise AssertionError("unused")
+
+
+def test_dropout_changes_output_and_determinism(rng):
+    g, *_ = make_graph(rng)
+    feat = jnp.asarray(rng.normal(size=(16, 6)), jnp.float32)
+    conv = SIRConv(hidden_dim=8, output_dim=5, activation=jnp.tanh,
+                   dropout=0.5)
+    params = conv.init(jax.random.PRNGKey(0), g, feat)
+    det = conv.apply(params, g, feat, deterministic=True)
+    r1 = conv.apply(params, g, feat, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    r2 = conv.apply(params, g, feat, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    r3 = conv.apply(params, g, feat, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(det), np.asarray(r1))
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2))
+    assert not np.allclose(np.asarray(r1), np.asarray(r3))
+
+
+def test_param_count_matches_reference_formula():
+    """torch param counts: W_Q (in*h + h), W_K (in*h), W_R (h*o + o)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    g, *_ = make_graph(rng)
+    feat = jnp.zeros((16, 7), jnp.float32)
+    conv = SIRConv(hidden_dim=11, output_dim=3, activation=jnp.tanh)
+    params = conv.init(jax.random.PRNGKey(0), g, feat)
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    assert n == (7 * 11 + 11) + (7 * 11) + (11 * 3 + 3)
