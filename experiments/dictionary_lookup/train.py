@@ -1,0 +1,206 @@
+"""DictionaryLookup training harness (reference
+``synthetic-datasets/dictionary-lookup/train.py``): the paper's
+discriminative-power probe — SIR-GCN must reach test accuracy 1.0 where
+GCN collapses to chance. CLI flags mirror the reference so README commands
+translate directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sir_gcn_tpu import batch_graphs
+from sir_gcn_tpu.data import DictionaryLookupDataset
+from sir_gcn_tpu.train import (
+    EpochDriver,
+    aggregate_runs,
+    init_state,
+    make_adamw,
+    param_count,
+    set_lr_scale,
+    set_seed,
+)
+
+from experiments.dictionary_lookup.model import GCNModel, SIRModel
+
+MODELS = {"SIR": SIRModel, "GCN": GCNModel}
+
+
+def make_batcher(ds: DictionaryLookupDataset, batch_size: int):
+    """All samples share one structure: build a single padded template for
+    `batch_size` copies; per-node labels/weights are layout constants."""
+    n = ds.num_nodes
+    template = batch_graphs(
+        [(ds.src, ds.dst, ds.graph_num_nodes)] * batch_size,
+        g_pad=batch_size + 1,
+    )
+    n_pad = template.n_pad
+    # per-node layout: graph b occupies [b*2n, (b+1)*2n); keys first
+    key_mask = np.zeros(n_pad, bool)
+    label_slot = np.zeros(n_pad, np.int32)
+    for b in range(batch_size):
+        key_mask[b * 2 * n: b * 2 * n + n] = True
+    return template, key_mask, label_slot
+
+
+def pad_batch(feats, labels, batch_size, n, n_pad):
+    """Stack features/labels for a (possibly partial) batch into padded
+    per-node arrays. Returns feats [n_pad,2], labels [n_pad], weights."""
+    b = feats.shape[0]
+    out_feats = np.zeros((n_pad, 2), np.int32)
+    out_labels = np.zeros(n_pad, np.int32)
+    weights = np.zeros(n_pad, np.float32)
+    flat = feats.reshape(b * 2 * n, 2)
+    out_feats[: b * 2 * n] = flat
+    for i in range(b):
+        sl = slice(i * 2 * n, i * 2 * n + n)
+        out_labels[sl] = labels[i]
+        weights[sl] = 1.0
+    return out_feats, out_labels, weights
+
+
+def run_single(args, seed: int):
+    key = set_seed(seed)
+    ds = DictionaryLookupDataset(
+        args.nodes, args.samples, rng=np.random.default_rng(seed)
+    )
+    n = args.nodes
+    n_train = int(args.train_size * len(ds))
+    train_idx = np.arange(n_train)
+    test_idx = np.arange(n_train, len(ds))
+
+    template, key_mask_np, _ = make_batcher(ds, args.batch_size)
+    n_pad = template.n_pad
+
+    model = MODELS[args.model](
+        input_dim=n, hidden_dim=args.nhidden, output_dim=n,
+        num_layers=args.nlayers, dropout=args.dropout,
+    )
+    key, init_key = jax.random.split(key)
+    dummy_feats = jnp.zeros((n_pad, 2), jnp.int32)
+    variables = model.init(init_key, template, dummy_feats)
+    tx = make_adamw(args.lr, args.wd)
+    state = init_state(variables, tx)
+    print(f"Params: {param_count(state.params)}")
+
+    @jax.jit
+    def train_step(state, key, feats, labels, weights):
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params}, template, feats,
+                deterministic=False, rngs={"dropout": key},
+            )
+            logp = jax.nn.log_softmax(logits)
+            ce = -jnp.take_along_axis(logp, labels[:, None], 1)[:, 0]
+            return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        return state.replace(params=params, opt_state=opt_state), loss
+
+    @jax.jit
+    def eval_step(state, feats, labels, weights):
+        logits = model.apply({"params": state.params}, template, feats)
+        logp = jax.nn.log_softmax(logits)
+        ce = -jnp.take_along_axis(logp, labels[:, None], 1)[:, 0]
+        wsum = jnp.maximum(jnp.sum(weights), 1.0)
+        loss = jnp.sum(ce * weights) / wsum
+        correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        acc = jnp.sum(correct * weights) / wsum
+        return loss, acc, jnp.sum(weights)
+
+    def iterate(idx, shuffle_rng=None):
+        order = (shuffle_rng.permutation(idx) if shuffle_rng is not None
+                 else idx)
+        for s in range(0, len(order), args.batch_size):
+            sel = order[s: s + args.batch_size]
+            yield pad_batch(ds.feats[sel], ds.labels[sel],
+                            args.batch_size, n, n_pad)
+
+    def evaluate(idx):
+        tot_l = tot_a = tot_w = 0.0
+        for feats, labels, weights in iterate(idx):
+            l, a, w = eval_step(state, jnp.asarray(feats),
+                                jnp.asarray(labels), jnp.asarray(weights))
+            w = float(w)
+            tot_l += float(l) * w
+            tot_a += float(a) * w
+            tot_w += w
+        return tot_l / tot_w, tot_a / tot_w
+
+    driver = EpochDriver(epochs=args.epochs, factor=args.factor,
+                         patience=args.patience, log_every=args.log_every)
+    shuffle_rng = np.random.default_rng(seed + 12345)
+    acc = test_acc = 0.0
+    for epoch in range(1, args.epochs + 1):
+        for feats, labels, weights in iterate(train_idx, shuffle_rng):
+            key, sk = jax.random.split(key)
+            state, _ = train_step(state, sk, jnp.asarray(feats),
+                                  jnp.asarray(labels), jnp.asarray(weights))
+        loss, acc = evaluate(train_idx)
+        test_loss, test_acc = evaluate(test_idx)
+        state = set_lr_scale(state, driver.scale_for_epoch(epoch, loss))
+
+        if driver.should_log(epoch):
+            print(f"Epoch {epoch:04d} | loss: {loss:.4f} | acc: {acc:.4f} | "
+                  f"test_loss: {test_loss:.4f} | test_acc: {test_acc:.4f}")
+        if loss < 1e-3 and test_loss < 1e-3:
+            break
+
+    return acc, test_acc
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        "SIR-GCN/GCN implementation on DictionaryLookup (TPU-native)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--cpu", action="store_true", help="CPU mode")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model", type=str, default="SIR", choices=list(MODELS))
+    p.add_argument("--nhidden", type=int, default=64)
+    p.add_argument("--nlayers", type=int, default=1)
+    p.add_argument("--dropout", type=float, default=0)
+    p.add_argument("--nodes", type=int, default=10)
+    p.add_argument("--samples", type=int, default=5000)
+    p.add_argument("--train-size", type=float, default=0.8)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wd", type=float, default=0)
+    p.add_argument("--factor", type=float, default=0.5)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--nruns", type=int, default=10)
+    p.add_argument("--log-every", type=int, default=20)
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    train_accs, test_accs = [], []
+    for i in range(args.nruns):
+        train_acc, test_acc = run_single(args, args.seed + i)
+        train_accs.append(train_acc)
+        test_accs.append(test_acc)
+
+    print(args)
+    print(f"Runned {args.nruns} times")
+    aggregate_runs("train accuracy", train_accs)
+    aggregate_runs("test accuracy", test_accs)
+    return train_accs, test_accs
+
+
+if __name__ == "__main__":
+    main()

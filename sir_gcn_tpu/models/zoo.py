@@ -1,0 +1,138 @@
+"""Baseline conv zoo: GCN / GATv2 / GIN / GraphSAGE expressed through the
+framework's gather/segment primitives.
+
+The reference pulls these from ``dgl.nn`` for its contrast experiments
+(``synthetic-datasets/dictionary-lookup/model.py:47-155``,
+``benchmark-datasets/*/model.py`` GIN/GAT baselines). Each class mirrors the
+corresponding DGL layer's math on the settings the reference uses.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..graph import GraphBatch
+from ..ops import copy_src_aggregate, segment
+from .layers import Linear
+
+
+class GraphConv(nn.Module):
+    """Kipf-Welling GCN layer, DGL ``GraphConv`` with norm='both',
+    allow_zero_in_degree=True: h_u = b + W sum_v h_v / sqrt(d_out(v) d_in(u)).
+    Zero-in-degree nodes produce 0 (+ bias)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, feat: jax.Array,
+                 edge_mask: Optional[jax.Array] = None) -> jax.Array:
+        out_norm = jnp.power(jnp.maximum(graph.out_deg, 1.0), -0.5)
+        in_norm = jnp.power(jnp.maximum(graph.in_deg, 1.0), -0.5)
+        x = feat * out_norm[:, None]
+        x = Linear(self.features, use_bias=False, name="weight")(x)
+        agg = copy_src_aggregate(graph, x, "sum", edge_mask=edge_mask)
+        agg = agg * in_norm[:, None]
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            agg = agg + bias
+        return agg
+
+
+class GATv2Conv(nn.Module):
+    """GATv2 (Brody et al.), DGL ``GATv2Conv`` with share_weights=True:
+    e_vu = a^T LeakyReLU(W h_u + W h_v), attention softmax over incoming
+    edges of u, h_u = sum_v alpha_vu W h_v. Returns [N, heads, out]."""
+
+    features: int
+    num_heads: int = 1
+    negative_slope: float = 0.2
+    share_weights: bool = True
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, feat: jax.Array,
+                 edge_mask: Optional[jax.Array] = None) -> jax.Array:
+        H, F = self.num_heads, self.features
+        fsrc = Linear(H * F, name="fc_src")(feat).reshape(-1, H, F)
+        if self.share_weights:
+            fdst = fsrc
+        else:
+            fdst = Linear(H * F, name="fc_dst")(feat).reshape(-1, H, F)
+        attn = self.param("attn", nn.initializers.variance_scaling(
+            1.0 / 3.0, "fan_in", "uniform"), (H, F))
+
+        valid = (graph.edge_mask if edge_mask is None
+                 else jnp.logical_and(graph.edge_mask, edge_mask))
+        z = (jnp.take(fdst, graph.dst, axis=0)
+             + jnp.take(fsrc, graph.src, axis=0))      # [E, H, F]
+        e = jnp.sum(nn.leaky_relu(z, self.negative_slope) * attn, -1)  # [E,H]
+        alpha = segment.segment_softmax(e, graph.dst, graph.n_pad, valid)
+        msg = jnp.take(fsrc, graph.src, axis=0) * alpha[..., None]
+        vmask = valid[:, None, None]
+        msg = jnp.where(vmask, msg, 0.0)
+        return jax.ops.segment_sum(msg, graph.dst, graph.n_pad,
+                                   indices_are_sorted=True)
+
+
+class GINConv(nn.Module):
+    """GIN layer, DGL ``GINConv`` (default eps=0, not learned):
+    h_u = apply_func((1 + eps) h_u + sum_v h_v)."""
+
+    apply_func: Callable[[jax.Array], jax.Array]
+    init_eps: float = 0.0
+    learn_eps: bool = False
+    agg: str = "sum"
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, feat: jax.Array,
+                 edge_mask: Optional[jax.Array] = None) -> jax.Array:
+        if self.learn_eps:
+            eps = self.param("eps", lambda *_: jnp.asarray(self.init_eps))
+        else:
+            eps = self.init_eps
+        agg = copy_src_aggregate(graph, feat, self.agg, edge_mask=edge_mask)
+        return self.apply_func((1.0 + eps) * feat + agg)
+
+
+class GINEConv(nn.Module):
+    """GINE (GIN with edge features), DGL ``GINEConv``:
+    h_u = apply_func((1 + eps) h_u + sum_v ReLU(h_v + e_uv)).
+    ``efeat`` given in original edge order."""
+
+    apply_func: Callable[[jax.Array], jax.Array]
+    init_eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, feat: jax.Array, efeat: jax.Array,
+                 edge_mask: Optional[jax.Array] = None) -> jax.Array:
+        valid = (graph.edge_mask if edge_mask is None
+                 else jnp.logical_and(graph.edge_mask, edge_mask))
+        e = jnp.take(efeat, graph.edge_perm, axis=0)
+        msg = jax.nn.relu(jnp.take(feat, graph.src, axis=0) + e)
+        msg = jnp.where(valid[:, None], msg, 0.0)
+        agg = jax.ops.segment_sum(msg, graph.dst, graph.n_pad,
+                                  indices_are_sorted=True)
+        return self.apply_func((1.0 + self.init_eps) * feat + agg)
+
+
+class SAGEConv(nn.Module):
+    """GraphSAGE, DGL ``SAGEConv`` with aggregator_type='pool':
+    h_pool = max_v ReLU(W_pool h_v + b); h_u = W_self h_u + W_neigh h_pool."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, feat: jax.Array,
+                 edge_mask: Optional[jax.Array] = None) -> jax.Array:
+        valid = (graph.edge_mask if edge_mask is None
+                 else jnp.logical_and(graph.edge_mask, edge_mask))
+        pooled = jax.nn.relu(Linear(feat.shape[-1], name="fc_pool")(feat))
+        msg = jnp.take(pooled, graph.src, axis=0)
+        h_neigh = segment.segment_max(msg, graph.dst, graph.n_pad, valid)
+        return (Linear(self.features, use_bias=False, name="fc_self")(feat)
+                + Linear(self.features, name="fc_neigh")(h_neigh))
