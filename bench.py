@@ -1,0 +1,123 @@
+"""Benchmark: edges/s/chip on the flagship ogbn-arxiv-shaped workload.
+
+Runs the full training step (forward + backward + AdamW) of the reference's
+winning ogbn-arxiv SIR-GCN configuration (hidden 95->96, 3 layers, sym
+aggregation, BatchNorm, residual — ``benchmark-datasets/ogbn-arxiv/
+train.py:303``) on an arxiv-sized graph (169,343 nodes; ~2.48M directed
+edges after bidirection + self-loops, matching train.py:42-55 transforms),
+and reports sustained edge-layer traversals per second.
+
+vs_baseline is the fraction of an HBM-roofline estimate: the hot path moves
+~(2 fwd + 4 bwd) * hidden * 4 bytes per edge per layer; at v5e's ~819 GB/s
+that bounds edge-layers/s. The reference publishes no throughput numbers
+(SURVEY §6), so the roofline is the bar.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from experiments.ogbn_arxiv.model import SIRModel
+    from sir_gcn_tpu import add_self_loops, build_graph, to_bidirected
+    from sir_gcn_tpu.train import init_state, make_adamw
+
+    N = 169_343
+    E_RAW = 1_166_243
+    HIDDEN, LAYERS = 96, 3
+    NUM_CLASSES = 40
+    FEAT_DIM = 128
+
+    rng = np.random.default_rng(0)
+    log(f"building arxiv-sized graph: {N} nodes, {E_RAW} raw edges ...")
+    src = rng.integers(0, N, E_RAW)
+    dst = rng.integers(0, N, E_RAW)
+    src, dst = to_bidirected(src, dst)
+    src, dst = add_self_loops(src, dst, N)
+    graph = build_graph(src, dst, N, pad_multiple=1024)
+    E = int(graph.num_edges)
+    log(f"padded: n_pad={graph.n_pad} e_pad={graph.e_pad} edges={E}")
+
+    model = SIRModel(hidden_dim=HIDDEN, output_dim=NUM_CLASSES,
+                     num_layers=LAYERS, dropout=0.2, norm="bn",
+                     residual=True, feat_dropout=0.2, agg_type="sym")
+    feats = jnp.asarray(rng.normal(size=(graph.n_pad, FEAT_DIM)),
+                        jnp.float32)
+    labels = jnp.asarray(rng.integers(0, NUM_CLASSES, graph.n_pad),
+                         jnp.int32)
+
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, graph, feats)
+    tx = make_adamw(1e-2, 1e-3)
+    state = init_state(variables, tx)
+
+    @jax.jit
+    def train_step(state, rng, feats, labels):
+        def loss_fn(params):
+            logits, upd = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                graph, feats, deterministic=False,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            logp = jax.nn.log_softmax(logits)
+            ce = -jnp.take_along_axis(logp, labels[:, None], 1)[:, 0]
+            return jnp.mean(ce), upd.get("batch_stats", {})
+
+        (loss, bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             batch_stats=bs), loss
+
+    log(f"compiling on {jax.devices()[0]} ...")
+    t0 = time.time()
+    state, loss = train_step(state, key, feats, labels)
+    jax.block_until_ready(loss)
+    log(f"compile+first step: {time.time() - t0:.1f}s loss={float(loss):.3f}")
+
+    # warmup
+    for _ in range(3):
+        state, loss = train_step(state, key, feats, labels)
+    jax.block_until_ready(loss)
+
+    steps = 20
+    t0 = time.time()
+    for _ in range(steps):
+        state, loss = train_step(state, key, feats, labels)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / steps
+    log(f"step time: {dt * 1e3:.2f} ms")
+
+    edge_layers_per_s = E * LAYERS / dt
+
+    # HBM roofline estimate (see module docstring)
+    bytes_per_edge_layer = (2 + 4) * HIDDEN * 4
+    hbm_bw = 819e9  # v5e
+    roofline = hbm_bw / bytes_per_edge_layer
+
+    print(json.dumps({
+        "metric": "arxiv_sir_fwd_bwd_edge_layers_per_s",
+        "value": round(edge_layers_per_s, 1),
+        "unit": "edge-layers/s/chip",
+        "vs_baseline": round(edge_layers_per_s / roofline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

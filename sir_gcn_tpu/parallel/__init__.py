@@ -1,0 +1,3 @@
+from .mesh import make_mesh
+from .data_parallel import stack_device_batches, make_dp_train_step
+from .full_graph import shard_full_graph
