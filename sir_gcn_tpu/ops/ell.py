@@ -1,0 +1,443 @@
+"""ELLPACK-style fast path for SIR message passing on TPU.
+
+This module is the performance core of the framework — the TPU-native
+replacement for DGL's fused gSpMM/gSDDMM CUDA kernels (reference
+``models/conv.py:63`` ``update_all``; SURVEY §2b N1-N3, N12).
+
+Why not CSR segment ops? Measured on a v5e chip at ogbn-arxiv scale
+(2.5M edges, H=96..128): XLA's sorted ``segment_sum`` sustains ~45 GB/s and
+its fused gather+scatter loop ~85 GB/s, while plain streaming ops run at
+300-400 GB/s and a random row ``take`` at ~210 GB/s. The scatter is the
+bottleneck, and the TPU vector unit has no wide gather/scatter (Mosaic's
+``dynamic_gather`` addresses a single vreg). So the problem is
+restructured so that **no scatter appears anywhere, in forward or
+backward**:
+
+* **Degree-bucketed ELL layout** (host-built once per graph): nodes are
+  permuted into power-of-two *budget* buckets; each node's incoming edges
+  occupy a contiguous run of ``budget`` slots (padded, zero-scale). Hub
+  nodes with degree > ``max_budget`` split into chunk rows combined by a
+  second bucketed stage.
+* Reductions become ``reshape(-1, budget, H).sum(1)`` — pure streaming.
+* Gathers are row ``take`` ops — the one pattern the HW does well.
+* The backward pass uses a mirrored src-keyed plan plus a slot
+  permutation (``jax.custom_vjp``): backward of gather = bucketed
+  segment-sum in the transposed layout; backward of the bucketed sum =
+  broadcast. (SURVEY N12.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import GraphBatch
+
+MAX_BUDGET = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ======================================================================
+# Reduce plan: bucketed slots + optional hub stage + key lookup
+# ======================================================================
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ReducePlan:
+    """Reduce per-edge values by a key (dst or src), scatter-free.
+
+    Slot arrays (length S1, grouped into ``buckets1`` of
+    (budget, num_rows) runs): ``slot_edge`` is the sorted-edge id feeding
+    the slot, ``slot_valid`` its 0/1 validity, ``slot_key`` its key node.
+    ``s2_*`` combine hub chunk rows. ``key2row`` maps every key to its
+    final row; keys with no edges map to an appended all-zero row.
+    """
+
+    slot_edge: jax.Array
+    slot_valid: jax.Array
+    slot_key: jax.Array
+    s2_gather: Optional[jax.Array]
+    s2_valid: Optional[jax.Array]
+    key2row: jax.Array
+    buckets1: tuple = dataclasses.field(metadata=dict(static=True))
+    buckets2: Optional[tuple] = dataclasses.field(
+        metadata=dict(static=True))
+    num_keys: int = dataclasses.field(metadata=dict(static=True))
+
+    # -- core streaming ops -------------------------------------------
+    @staticmethod
+    def _bucket_reduce(values: jax.Array, buckets, op: str,
+                       neg: float = 0.0) -> jax.Array:
+        outs, s = [], 0
+        for budget, nrows in buckets:
+            n = budget * nrows
+            blk = values[s:s + n].reshape(nrows, budget, -1)
+            outs.append(blk.sum(1) if op == "sum" else blk.max(1))
+            s += n
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+    def _finalize(self, rows1: jax.Array, op: str, neg: float
+                  ) -> jax.Array:
+        if self.s2_gather is not None:
+            vals = jnp.take(rows1, self.s2_gather, axis=0)
+            if op == "sum":
+                vals = vals * self.s2_valid[:, None]
+            else:
+                vals = jnp.where(self.s2_valid[:, None] > 0, vals, neg)
+            rows = self._bucket_reduce(vals, self.buckets2, op, neg)
+        else:
+            rows = rows1
+        fill = jnp.full((1, rows.shape[-1]), 0.0 if op == "sum" else neg,
+                        rows.dtype)
+        rows = jnp.concatenate([rows, fill])
+        return jnp.take(rows, self.key2row, axis=0)
+
+    def reduce_slots_sum(self, slot_values: jax.Array) -> jax.Array:
+        """[S1, H] (already scaled/masked) -> [num_keys, H] sums."""
+        return self._finalize(
+            self._bucket_reduce(slot_values, self.buckets1, "sum"),
+            "sum", 0.0)
+
+    def reduce_slots_max(self, slot_values: jax.Array) -> jax.Array:
+        """[S1, H] (invalid slots = -inf) -> [num_keys, H] maxes (empty
+        keys -> -inf; caller zero-fills per DGL semantics)."""
+        neg = jnp.finfo(slot_values.dtype).min
+        return self._finalize(
+            self._bucket_reduce(slot_values, self.buckets1, "max", neg),
+            "max", neg)
+
+    def spread(self, node_values: jax.Array) -> jax.Array:
+        """[num_keys, H] -> [S1, H]: each slot gets its key's value.
+        This is the exact transpose of reduce_slots_sum (and the forward
+        eq-expand)."""
+        return jnp.take(node_values, self.slot_key, axis=0)
+
+    def gather_edges(self, edge_values: jax.Array) -> jax.Array:
+        """[E_pad, ...] sorted-edge-order values -> [S1, ...] slot order."""
+        return jnp.take(edge_values, self.slot_edge, axis=0)
+
+    @property
+    def num_slots(self) -> int:
+        return self.slot_edge.shape[0]
+
+
+def _bucketize(item_keys: np.ndarray, item_ids: np.ndarray, num_keys: int,
+               max_budget: int):
+    """Group items by key, chunk runs at ``max_budget``, pad chunks to
+    power-of-two budgets, bucket by budget.
+
+    Returns (slot_item [S], slot_valid [S], slot_key [S], buckets,
+    row_keys [R])."""
+    order = np.argsort(item_keys, kind="stable")
+    gkeys = item_keys[order]
+    gids = item_ids[order]
+    uniq, counts = np.unique(gkeys, return_counts=True)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    chunk_key, chunk_cnt, chunk_start = [], [], []
+    for k, c, s in zip(uniq, counts, starts):
+        for off in range(0, int(c), max_budget):
+            chunk_key.append(k)
+            chunk_cnt.append(min(int(c) - off, max_budget))
+            chunk_start.append(int(s) + off)
+    chunk_key = np.asarray(chunk_key, np.int64)
+    chunk_cnt = np.asarray(chunk_cnt, np.int64)
+    chunk_start = np.asarray(chunk_start, np.int64)
+    budgets = (2 ** np.ceil(np.log2(np.maximum(chunk_cnt, 1)))
+               ).astype(np.int64)
+
+    slot_item, slot_valid, slot_key = [], [], []
+    buckets, row_keys = [], []
+    for b in sorted(set(budgets.tolist())):
+        sel = np.nonzero(budgets == b)[0]
+        nrows = len(sel)
+        items = np.zeros((nrows, b), np.int64)
+        val = np.zeros((nrows, b), np.float32)
+        kk = np.zeros((nrows, b), np.int64)
+        for r, ci in enumerate(sel):
+            c = int(chunk_cnt[ci])
+            items[r, :c] = gids[chunk_start[ci]: chunk_start[ci] + c]
+            val[r, :c] = 1.0
+            kk[r, :] = chunk_key[ci]
+        slot_item.append(items.reshape(-1))
+        slot_valid.append(val.reshape(-1))
+        slot_key.append(kk.reshape(-1))
+        buckets.append((int(b), nrows))
+        row_keys.append(chunk_key[sel])
+
+    cat = lambda xs, d: (np.concatenate(xs) if xs
+                         else np.zeros(0, d))
+    return (cat(slot_item, np.int64), cat(slot_valid, np.float32),
+            cat(slot_key, np.int64), buckets,
+            cat(row_keys, np.int64))
+
+
+def build_reduce_plan(keys: np.ndarray, valid: np.ndarray, num_keys: int,
+                      max_budget: int = MAX_BUDGET) -> ReducePlan:
+    """Host-side construction of a :class:`ReducePlan` over the graph's
+    sorted-edge arrays."""
+    keys = np.asarray(keys, np.int64)
+    valid = np.asarray(valid, bool)
+    eids = np.nonzero(valid)[0]
+
+    slot_edge, slot_valid, slot_key, buckets1, row_keys = _bucketize(
+        keys[eids], eids, num_keys, max_budget)
+
+    # pad slots to multiple of 8 with an extra budget-1 bucket
+    s_pad = max(_round_up(len(slot_edge), 8), 8)
+    extra = s_pad - len(slot_edge)
+    if extra:
+        slot_edge = np.concatenate([slot_edge, np.zeros(extra, np.int64)])
+        slot_valid = np.concatenate([slot_valid,
+                                     np.zeros(extra, np.float32)])
+        slot_key = np.concatenate([slot_key, np.zeros(extra, np.int64)])
+        buckets1 = buckets1 + [(1, extra)]
+        row_keys = np.concatenate(
+            [row_keys, np.full(extra, num_keys, np.int64)])
+
+    n_rows1 = len(row_keys)
+    real = row_keys < num_keys
+    multi = (np.bincount(row_keys[real], minlength=num_keys).max(initial=0)
+             > 1)
+
+    if multi:
+        rids = np.nonzero(real)[0]
+        # stage 2 is tiny (<= E/max_budget rows): no chunk cap needed, so
+        # every key collapses to exactly one row
+        s2_gather, s2_valid, _, buckets2, row_keys2 = _bucketize(
+            row_keys[rids], rids, num_keys, max_budget=1 << 30)
+        assert (np.bincount(row_keys2, minlength=num_keys).max(initial=0)
+                <= 1)
+        final_keys, n_final = row_keys2, len(row_keys2)
+        s2_gather_j = jnp.asarray(s2_gather, jnp.int32)
+        s2_valid_j = jnp.asarray(s2_valid)
+        buckets2 = tuple(buckets2)
+    else:
+        s2_gather_j = s2_valid_j = None
+        buckets2 = None
+        final_keys, n_final = row_keys, n_rows1
+
+    # key -> final row; empty keys -> appended zero row (index n_final)
+    key2row = np.full(num_keys, n_final, np.int64)
+    realf = final_keys < num_keys
+    key2row[final_keys[realf]] = np.nonzero(realf)[0]
+
+    return ReducePlan(
+        slot_edge=jnp.asarray(slot_edge, jnp.int32),
+        slot_valid=jnp.asarray(slot_valid),
+        slot_key=jnp.asarray(slot_key, jnp.int32),
+        s2_gather=s2_gather_j,
+        s2_valid=s2_valid_j,
+        key2row=jnp.asarray(key2row, jnp.int32),
+        buckets1=tuple(buckets1),
+        buckets2=buckets2,
+        num_keys=num_keys,
+    )
+
+
+# ======================================================================
+# FastGraph: GraphBatch + forward/backward plans
+# ======================================================================
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FastGraph:
+    """A :class:`GraphBatch` augmented with ELL plans for the fast path.
+
+    ``dst_plan`` reduces messages to dst nodes (forward); ``src_plan``
+    reduces cotangents to src nodes (backward of the ek gather);
+    ``src_slot_from_dst_slot`` permutes dst-slot cotangents into src-slot
+    order; ``edge2dst_slot`` recovers per-edge values (edge-feature grads).
+    """
+
+    graph: GraphBatch
+    dst_plan: ReducePlan
+    src_plan: ReducePlan
+    dst_slot_srcnode: jax.Array     # [S_dst] src node id per dst slot
+    src_slot_from_dst_slot: jax.Array  # [S_src] dst-slot index per src slot
+    edge2dst_slot: jax.Array        # [E_pad] dst-slot index per sorted edge
+
+    # GraphBatch conveniences so layers can treat FastGraph as a graph
+    @property
+    def n_pad(self):
+        return self.graph.n_pad
+
+    @property
+    def e_pad(self):
+        return self.graph.e_pad
+
+    @property
+    def g_pad(self):
+        return self.graph.g_pad
+
+    @property
+    def node_mask(self):
+        return self.graph.node_mask
+
+    @property
+    def edge_mask(self):
+        return self.graph.edge_mask
+
+    @property
+    def graph_mask(self):
+        return self.graph.graph_mask
+
+    @property
+    def node2graph(self):
+        return self.graph.node2graph
+
+    @property
+    def in_deg(self):
+        return self.graph.in_deg
+
+    @property
+    def out_deg(self):
+        return self.graph.out_deg
+
+    @property
+    def src(self):
+        return self.graph.src
+
+    @property
+    def dst(self):
+        return self.graph.dst
+
+    @property
+    def edge_perm(self):
+        return self.graph.edge_perm
+
+    @property
+    def row_ptr(self):
+        return self.graph.row_ptr
+
+    def batch_num_nodes(self):
+        return self.graph.batch_num_nodes()
+
+    def broadcast_nodes(self, gfeat):
+        return self.graph.broadcast_nodes(gfeat)
+
+    def in_degrees(self):
+        return self.graph.in_deg
+
+    def out_degrees(self):
+        return self.graph.out_deg
+
+
+def build_fast_graph(graph: GraphBatch,
+                     max_budget: int = MAX_BUDGET) -> FastGraph:
+    """Host-side: attach ELL plans to a GraphBatch."""
+    src = np.asarray(graph.src, np.int64)
+    dst = np.asarray(graph.dst, np.int64)
+    valid = np.asarray(graph.edge_mask, bool)
+    n = graph.n_pad
+
+    dst_plan = build_reduce_plan(dst, valid, n, max_budget)
+    src_plan = build_reduce_plan(src, valid, n, max_budget)
+
+    dst_slot_edge = np.asarray(dst_plan.slot_edge, np.int64)
+    src_slot_edge = np.asarray(src_plan.slot_edge, np.int64)
+    dst_slot_srcnode = src[dst_slot_edge]
+
+    edge2dst_slot = np.zeros(graph.e_pad, np.int64)
+    dvalid = np.asarray(dst_plan.slot_valid) > 0
+    edge2dst_slot[dst_slot_edge[dvalid]] = np.nonzero(dvalid)[0]
+    src_slot_from_dst_slot = edge2dst_slot[src_slot_edge]
+
+    return FastGraph(
+        graph=graph,
+        dst_plan=dst_plan,
+        src_plan=src_plan,
+        dst_slot_srcnode=jnp.asarray(dst_slot_srcnode, jnp.int32),
+        src_slot_from_dst_slot=jnp.asarray(src_slot_from_dst_slot,
+                                           jnp.int32),
+        edge2dst_slot=jnp.asarray(edge2dst_slot, jnp.int32),
+    )
+
+
+# ======================================================================
+# The fused SIR aggregation with scatter-free custom VJP
+# ======================================================================
+
+def make_ell_sir_aggregate(
+    fg: FastGraph,
+    activation: Callable[[jax.Array], jax.Array],
+    agg_type: str,
+    with_edge: bool = False,
+):
+    """Build the fast-path linear-agg SIR aggregation for a fixed graph:
+
+        out[u] = reduce_{e in in(u)} scale_e * act(eq[u] + ek[src_e] [+ e_e])
+
+    for agg in {sum, mean, sym}. Returns
+    ``f(eq, ek, e, edge_scale) -> [N_pad, H]`` where ``edge_scale``
+    [E_pad] carries the dynamic per-edge factor (sym norms, mean 1/deg,
+    DropEdge mask) and ``e`` is the edge projection in sorted order (or
+    None). Differentiable wrt eq/ek/e via a scatter-free custom VJP.
+    """
+    assert agg_type in ("sum", "mean", "sym")
+    plan = fg.dst_plan
+
+    def slot_z(eq, ek, e):
+        z = plan.spread(eq) + jnp.take(ek, fg.dst_slot_srcnode, axis=0)
+        if with_edge:
+            z = z + plan.gather_edges(e)
+        return z
+
+    def fwd_compute(eq, ek, e, edge_scale):
+        z = slot_z(eq, ek, e)
+        m = activation(z)
+        s = plan.gather_edges(edge_scale) * plan.slot_valid
+        out = plan.reduce_slots_sum(m * s[:, None])
+        return out, (z, s)
+
+    @jax.custom_vjp
+    def f(eq, ek, e, edge_scale):
+        return fwd_compute(eq, ek, e, edge_scale)[0]
+
+    def f_fwd(eq, ek, e, edge_scale):
+        out, (z, s) = fwd_compute(eq, ek, e, edge_scale)
+        return out, (z, s)
+
+    def f_bwd(res, g):
+        z, s = res
+        # dL/dm_slot = spread(g); dL/dz = that * scale * act'(z)
+        g_m = plan.spread(g) * s[:, None]
+        _, act_vjp = jax.vjp(activation, z)
+        (g_z,) = act_vjp(g_m)
+        # d eq: reduce g_z by dst — g_z already in dst-slot order
+        g_eq = plan.reduce_slots_sum(g_z * plan.slot_valid[:, None])
+        # d ek: permute to src-slot order, reduce by src
+        g_z_src = (jnp.take(g_z, fg.src_slot_from_dst_slot, axis=0)
+                   * fg.src_plan.slot_valid[:, None])
+        g_ek = fg.src_plan.reduce_slots_sum(g_z_src)
+        # d e: per-edge cotangent in sorted-edge order
+        if with_edge:
+            g_e = (jnp.take(g_z, fg.edge2dst_slot, axis=0)
+                   * fg.edge_mask[:, None].astype(g_z.dtype))
+        else:
+            g_e = jnp.zeros((0,), g_z.dtype)
+        return (g_eq, g_ek, g_e,
+                jnp.zeros((fg.e_pad,), g_z.dtype))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def ell_sir_aggregate(fg: FastGraph, eq, ek, activation, agg_type,
+                      e=None, edge_scale=None):
+    """One-shot convenience wrapper (the builder itself is cheap; the jit
+    cache dedupes compiled code by jaxpr)."""
+    f = make_ell_sir_aggregate(fg, activation, agg_type,
+                               with_edge=e is not None)
+    if edge_scale is None:
+        edge_scale = fg.edge_mask.astype(eq.dtype)
+    if e is None:
+        e = jnp.zeros((0,), eq.dtype)  # placeholder, unused
+    return f(eq, ek, e, edge_scale)

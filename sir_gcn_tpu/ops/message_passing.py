@@ -88,6 +88,29 @@ def sir_aggregate(
     if agg_type not in ("sum", "mean", "max", "sym"):
         raise NotImplementedError(f"agg_type = {agg_type} not implemented")
 
+    from .ell import FastGraph, ell_sir_aggregate
+
+    if isinstance(graph, FastGraph) and agg_type in ("sum", "mean", "sym"):
+        g = graph.graph
+        valid = g.edge_mask if edge_mask is None else jnp.logical_and(
+            g.edge_mask, edge_mask)
+        scale = valid.astype(eq.dtype)
+        if agg_type == "sym":
+            in_norm = jnp.power(jnp.maximum(g.in_deg, 1.0), -0.5)
+            out_norm = jnp.power(jnp.maximum(g.out_deg, 1.0), -0.5)
+            scale = scale * (jnp.take(out_norm, g.src)
+                             * jnp.take(in_norm, g.dst))
+        out = ell_sir_aggregate(graph, eq, ek, activation, agg_type,
+                                e=e, edge_scale=scale)
+        if agg_type == "mean":
+            counts = graph.dst_plan.reduce_slots_sum(
+                graph.dst_plan.gather_edges(scale)[:, None]
+                * graph.dst_plan.slot_valid[:, None])
+            out = out / jnp.maximum(counts, 1.0)
+        return out
+    if isinstance(graph, FastGraph):
+        graph = graph.graph  # max agg: fall back to the CSR path
+
     valid = graph.edge_mask if edge_mask is None else jnp.logical_and(
         graph.edge_mask, edge_mask
     )

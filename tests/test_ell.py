@@ -1,0 +1,166 @@
+"""ELL fast-path correctness: the scatter-free pipeline must match the CSR
+reference path exactly (forward and gradients), including hub splitting,
+dynamic edge masks, and all linear aggregators."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sir_gcn_tpu import build_graph
+from sir_gcn_tpu.ops import sir_aggregate
+from sir_gcn_tpu.ops.ell import build_fast_graph, build_reduce_plan
+
+
+def make_graph(rng, n=40, e=300, n_pad=64, e_pad=512, skew=False):
+    if skew:
+        # hub node 0 receives most edges => exercises chunk splitting
+        dst = np.where(rng.random(e) < 0.5, 0, rng.integers(0, n, e))
+    else:
+        dst = rng.integers(0, n, e)
+    src = rng.integers(0, n, e)
+    return build_graph(src, dst, n, n_pad=n_pad, e_pad=e_pad), src, dst
+
+
+def test_reduce_plan_matches_segment_sum(rng):
+    g, src, dst = make_graph(rng)
+    plan = build_reduce_plan(np.asarray(g.dst), np.asarray(g.edge_mask),
+                             g.n_pad, max_budget=8)
+    vals = rng.normal(size=(g.e_pad, 5)).astype(np.float32)
+    slot_vals = (plan.gather_edges(jnp.asarray(vals))
+                 * plan.slot_valid[:, None])
+    got = plan.reduce_slots_sum(slot_vals)
+    expected = np.zeros((g.n_pad, 5), np.float32)
+    sd = np.asarray(g.dst)[np.asarray(g.edge_mask)]
+    for i, d in enumerate(sd):
+        expected[d] += vals[np.asarray(g.edge_mask)][i]
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
+
+
+def test_reduce_plan_hub_splitting(rng):
+    g, src, dst = make_graph(rng, skew=True)
+    plan = build_reduce_plan(np.asarray(g.dst), np.asarray(g.edge_mask),
+                             g.n_pad, max_budget=8)
+    assert plan.s2_gather is not None  # hub forced a second stage
+    vals = rng.normal(size=(g.e_pad, 3)).astype(np.float32)
+    slot_vals = (plan.gather_edges(jnp.asarray(vals))
+                 * plan.slot_valid[:, None])
+    got = plan.reduce_slots_sum(slot_vals)
+    expected = np.zeros((g.n_pad, 3), np.float32)
+    em = np.asarray(g.edge_mask)
+    for i in np.nonzero(em)[0]:
+        expected[np.asarray(g.dst)[i]] += vals[i]
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
+
+
+def test_spread_is_transpose_of_reduce(rng):
+    g, *_ = make_graph(rng)
+    plan = build_reduce_plan(np.asarray(g.dst), np.asarray(g.edge_mask),
+                             g.n_pad, max_budget=16)
+    # <reduce(x), y> == <x, spread(y)> for masked x
+    x = jnp.asarray(rng.normal(size=(plan.num_slots, 4)), jnp.float32)
+    x = x * plan.slot_valid[:, None]
+    y = jnp.asarray(rng.normal(size=(g.n_pad, 4)), jnp.float32)
+    lhs = jnp.sum(plan.reduce_slots_sum(x) * y)
+    rhs = jnp.sum(x * plan.spread(y) * plan.slot_valid[:, None])
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean", "sym"])
+@pytest.mark.parametrize("skew", [False, True])
+def test_fast_graph_matches_reference(rng, agg, skew):
+    g, src, dst = make_graph(rng, skew=skew)
+    fg = build_fast_graph(g, max_budget=16)
+    eq = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+
+    ref = sir_aggregate(g, eq, ek, jnp.tanh, agg)
+    got = sir_aggregate(fg, eq, ek, jnp.tanh, agg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("agg", ["sum", "sym"])
+def test_fast_graph_gradients_match(rng, agg):
+    g, *_ = make_graph(rng, skew=True)
+    fg = build_fast_graph(g, max_budget=16)
+    eq = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+
+    def loss(graph):
+        def inner(eq, ek):
+            out = sir_aggregate(graph, eq, ek, jnp.tanh, agg)
+            return jnp.sum(out * w)
+        return inner
+
+    ref_g = jax.grad(loss(g), argnums=(0, 1))(eq, ek)
+    got_g = jax.grad(loss(fg), argnums=(0, 1))(eq, ek)
+    for a, b in zip(got_g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_fast_graph_edge_features_and_grad(rng):
+    g, *_ = make_graph(rng)
+    fg = build_fast_graph(g, max_budget=16)
+    eq = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(g.e_pad, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+
+    def loss(graph):
+        def inner(eq, ek, e):
+            out = sir_aggregate(graph, eq, ek, jnp.tanh, "sum", e=e)
+            return jnp.sum(out * w)
+        return inner
+
+    ref = loss(g)(eq, ek, e)
+    got = loss(fg)(eq, ek, e)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
+
+    ref_g = jax.grad(loss(g), argnums=(0, 1, 2))(eq, ek, e)
+    got_g = jax.grad(loss(fg), argnums=(0, 1, 2))(eq, ek, e)
+    for a, b in zip(got_g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_fast_graph_edge_mask(rng):
+    g, *_ = make_graph(rng)
+    fg = build_fast_graph(g, max_budget=16)
+    eq = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    mask = jnp.asarray(rng.random(g.e_pad) < 0.5)
+
+    for agg in ["sum", "mean"]:
+        ref = sir_aggregate(g, eq, ek, jnp.tanh, agg, edge_mask=mask)
+        got = sir_aggregate(fg, eq, ek, jnp.tanh, agg, edge_mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_fast_graph_max_falls_back(rng):
+    g, *_ = make_graph(rng)
+    fg = build_fast_graph(g)
+    eq = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    wr = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+    ref = sir_aggregate(g, eq, ek, jnp.tanh, "max", w_relation=wr)
+    got = sir_aggregate(fg, eq, ek, jnp.tanh, "max", w_relation=wr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_sirconv_on_fast_graph(rng):
+    from sir_gcn_tpu.models import SIRConv
+
+    g, *_ = make_graph(rng)
+    fg = build_fast_graph(g)
+    feat = jnp.asarray(rng.normal(size=(g.n_pad, 6)), jnp.float32)
+    conv = SIRConv(hidden_dim=8, output_dim=5, activation=jnp.tanh,
+                   agg_type="sym")
+    params = conv.init(jax.random.PRNGKey(0), g, feat)
+    ref = conv.apply(params, g, feat)
+    got = conv.apply(params, fg, feat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
