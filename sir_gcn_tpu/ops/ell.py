@@ -63,6 +63,7 @@ class ReducePlan:
     slot_edge: jax.Array
     slot_valid: jax.Array
     slot_key: jax.Array
+    row_key: jax.Array      # int32 [R1] stage-1 row -> key node id
     s2_gather: Optional[jax.Array]
     s2_valid: Optional[jax.Array]
     key2row: jax.Array
@@ -112,6 +113,12 @@ class ReducePlan:
         return self._finalize(
             self._bucket_reduce(slot_values, self.buckets1, "max", neg),
             "max", neg)
+
+    def finalize_rows_sum(self, rows1: jax.Array) -> jax.Array:
+        """Stage-1 rows [R1, H] -> [num_keys, H] (applies the hub second
+        stage and the key lookup). Used by the Pallas fast path, whose
+        kernels emit stage-1 rows."""
+        return self._finalize(rows1, "sum", 0.0)
 
     def spread(self, node_values: jax.Array) -> jax.Array:
         """[num_keys, H] -> [S1, H]: each slot gets its key's value.
@@ -201,6 +208,9 @@ def build_reduce_plan(keys: np.ndarray, valid: np.ndarray, num_keys: int,
         buckets1 = buckets1 + [(1, extra)]
         row_keys = np.concatenate(
             [row_keys, np.full(extra, num_keys, np.int64)])
+    # device-side row->key (pad rows -> index 0; their contributions are
+    # masked by zero slot_valid / never selected by key2row)
+    row_key_dev = np.where(row_keys < num_keys, row_keys, 0)
 
     n_rows1 = len(row_keys)
     real = row_keys < num_keys
@@ -233,6 +243,7 @@ def build_reduce_plan(keys: np.ndarray, valid: np.ndarray, num_keys: int,
         slot_edge=jnp.asarray(slot_edge, jnp.int32),
         slot_valid=jnp.asarray(slot_valid),
         slot_key=jnp.asarray(slot_key, jnp.int32),
+        row_key=jnp.asarray(row_key_dev, jnp.int32),
         s2_gather=s2_gather_j,
         s2_valid=s2_valid_j,
         key2row=jnp.asarray(key2row, jnp.int32),
@@ -365,6 +376,106 @@ def build_fast_graph(graph: GraphBatch,
 # The fused SIR aggregation with scatter-free custom VJP
 # ======================================================================
 
+def _bucket_offsets(buckets):
+    """(slot_offset, row_offset) runs for each (budget, nrows) bucket."""
+    offs, s, r = [], 0, 0
+    for b, nr in buckets:
+        offs.append((b, nr, s, r))
+        s += b * nr
+        r += nr
+    return offs
+
+
+def make_ell_sir_aggregate_pallas(
+    fg: FastGraph,
+    activation: Callable[[jax.Array], jax.Array],
+    agg_type: str,
+    with_edge: bool = False,
+    interpret: bool = False,
+):
+    """Pallas-kernel variant of :func:`make_ell_sir_aggregate`: the
+    broadcast+activation+reduce stages run as fused streaming kernels per
+    budget bucket (see ``ops/pallas/kernels.py``); gathers stay on XLA's
+    ``take``. Numerics match the XLA variant exactly (f32, same order)."""
+    assert agg_type in ("sum", "mean", "sym")
+    from .pallas import (
+        bucket_bcast_act_reduce,
+        bucket_bcast_act_reduce_bwd,
+        bucket_scaled_reduce,
+    )
+
+    plan = fg.dst_plan
+    splan = fg.src_plan
+    offs_d = _bucket_offsets(plan.buckets1)
+    offs_s = _bucket_offsets(splan.buckets1)
+
+    def slot_inputs(eq, ek, e, edge_scale):
+        ekg = jnp.take(ek, fg.dst_slot_srcnode, axis=0)
+        if with_edge:
+            ekg = ekg + plan.gather_edges(e)
+        eq_rows = jnp.take(eq, plan.row_key, axis=0)
+        s = plan.gather_edges(edge_scale) * plan.slot_valid
+        return ekg, eq_rows, s
+
+    def fwd_rows(ekg, eq_rows, s):
+        rows = []
+        for b, nr, so, ro in offs_d:
+            rows.append(bucket_bcast_act_reduce(
+                ekg[so:so + b * nr], eq_rows[ro:ro + nr],
+                s[so:so + b * nr].reshape(nr, b), b, activation,
+                interpret=interpret))
+        return jnp.concatenate(rows) if len(rows) > 1 else rows[0]
+
+    @jax.custom_vjp
+    def f(eq, ek, e, edge_scale):
+        ekg, eq_rows, s = slot_inputs(eq, ek, e, edge_scale)
+        return plan.finalize_rows_sum(fwd_rows(ekg, eq_rows, s))
+
+    def f_fwd(eq, ek, e, edge_scale):
+        ekg, eq_rows, s = slot_inputs(eq, ek, e, edge_scale)
+        out = plan.finalize_rows_sum(fwd_rows(ekg, eq_rows, s))
+        return out, (ekg, eq_rows, s)
+
+    def f_bwd(res, g):
+        ekg, eq_rows, s = res
+        g_rows1 = jnp.take(g, plan.row_key, axis=0)
+        g_z_parts, g_eqr_parts = [], []
+        for b, nr, so, ro in offs_d:
+            gz, geq = bucket_bcast_act_reduce_bwd(
+                ekg[so:so + b * nr], eq_rows[ro:ro + nr],
+                s[so:so + b * nr].reshape(nr, b),
+                g_rows1[ro:ro + nr], b, activation,
+                interpret=interpret)
+            g_z_parts.append(gz)
+            g_eqr_parts.append(geq)
+        g_z = (jnp.concatenate(g_z_parts) if len(g_z_parts) > 1
+               else g_z_parts[0])
+        g_eqr = (jnp.concatenate(g_eqr_parts) if len(g_eqr_parts) > 1
+                 else g_eqr_parts[0])
+        g_eq = plan.finalize_rows_sum(g_eqr)
+
+        g_z_src = jnp.take(g_z, fg.src_slot_from_dst_slot, axis=0)
+        sv = splan.slot_valid
+        srows = []
+        for b, nr, so, ro in offs_s:
+            srows.append(bucket_scaled_reduce(
+                g_z_src[so:so + b * nr],
+                sv[so:so + b * nr].reshape(nr, b), b,
+                interpret=interpret))
+        g_ek = splan.finalize_rows_sum(
+            jnp.concatenate(srows) if len(srows) > 1 else srows[0])
+
+        if with_edge:
+            g_e = (jnp.take(g_z, fg.edge2dst_slot, axis=0)
+                   * fg.edge_mask[:, None].astype(g_z.dtype))
+        else:
+            g_e = jnp.zeros((0,), g_z.dtype)
+        return (g_eq, g_ek, g_e, jnp.zeros((fg.e_pad,), g_z.dtype))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def make_ell_sir_aggregate(
     fg: FastGraph,
     activation: Callable[[jax.Array], jax.Array],
@@ -431,11 +542,16 @@ def make_ell_sir_aggregate(
 
 
 def ell_sir_aggregate(fg: FastGraph, eq, ek, activation, agg_type,
-                      e=None, edge_scale=None):
+                      e=None, edge_scale=None, use_pallas=None):
     """One-shot convenience wrapper (the builder itself is cheap; the jit
-    cache dedupes compiled code by jaxpr)."""
-    f = make_ell_sir_aggregate(fg, activation, agg_type,
-                               with_edge=e is not None)
+    cache dedupes compiled code by jaxpr). ``use_pallas=None`` selects the
+    fused kernels automatically on TPU backends."""
+    if use_pallas is None:
+        from .pallas import pallas_available
+        use_pallas = pallas_available()
+    maker = (make_ell_sir_aggregate_pallas if use_pallas
+             else make_ell_sir_aggregate)
+    f = maker(fg, activation, agg_type, with_edge=e is not None)
     if edge_scale is None:
         edge_scale = fg.edge_mask.astype(eq.dtype)
     if e is None:
