@@ -51,6 +51,9 @@ def main():
     graph = build_graph(src, dst, N, pad_multiple=1024)
     E = int(graph.num_edges)
     log(f"padded: n_pad={graph.n_pad} e_pad={graph.e_pad} edges={E}")
+    log("building ELL fast-graph plans ...")
+    from sir_gcn_tpu.ops.ell import build_fast_graph
+    graph = build_fast_graph(graph)
 
     model = SIRModel(hidden_dim=HIDDEN, output_dim=NUM_CLASSES,
                      num_layers=LAYERS, dropout=0.2, norm="bn",
@@ -65,7 +68,6 @@ def main():
     tx = make_adamw(1e-2, 1e-3)
     state = init_state(variables, tx)
 
-    @jax.jit
     def train_step(state, rng, feats, labels):
         def loss_fn(params):
             logits, upd = model.apply(
@@ -85,22 +87,32 @@ def main():
         return state.replace(params=params, opt_state=opt_state,
                              batch_stats=bs), loss
 
+    steps = 10
+
+    # chain steps inside one executable: the tunneled runtime makes
+    # per-dispatch timing unreliable, and a final device->host fetch is the
+    # only reliable completion barrier
+    @jax.jit
+    def run_steps(state):
+        def body(i, carry):
+            st, _ = carry
+            st, loss = train_step(st, jax.random.fold_in(key, i),
+                                  feats, labels)
+            return (st, loss)
+        st, loss = jax.lax.fori_loop(0, steps, body,
+                                     (state, jnp.zeros(())))
+        return st, loss
+
     log(f"compiling on {jax.devices()[0]} ...")
     t0 = time.time()
-    state, loss = train_step(state, key, feats, labels)
-    jax.block_until_ready(loss)
-    log(f"compile+first step: {time.time() - t0:.1f}s loss={float(loss):.3f}")
+    state2, loss = run_steps(state)
+    loss_val = float(loss)
+    log(f"compile+{steps} steps: {time.time() - t0:.1f}s "
+        f"loss={loss_val:.3f}")
 
-    # warmup
-    for _ in range(3):
-        state, loss = train_step(state, key, feats, labels)
-    jax.block_until_ready(loss)
-
-    steps = 20
     t0 = time.time()
-    for _ in range(steps):
-        state, loss = train_step(state, key, feats, labels)
-    jax.block_until_ready(loss)
+    _, loss = run_steps(state2)
+    float(loss)
     dt = (time.time() - t0) / steps
     log(f"step time: {dt * 1e3:.2f} ms")
 
