@@ -1,0 +1,156 @@
+"""Shared training harness for batched-graph workloads (ZINC, molhiv, SBM,
+super-pixel). The reference copy-pastes this loop per experiment
+(``benchmark-datasets/zinc/train.py:55-128`` etc.); here it is one engine:
+jitted train/eval steps over fixed-bucket batches, linear warmup + plateau
+scheduling, best-by-validation selection, n-runs aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Callable, Optional
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sir_gcn_tpu.data.batching import GraphCollection
+from sir_gcn_tpu.train import (
+    EpochDriver,
+    init_state,
+    l1_l2_regularizer,
+    make_adamw,
+    param_count,
+    set_lr_scale,
+    set_seed,
+)
+
+
+def run_batched_workload(
+    *,
+    model,
+    coll: GraphCollection,
+    train_idx: np.ndarray,
+    val_idx: Optional[np.ndarray],
+    test_idx: np.ndarray,
+    args,
+    seed: int,
+    loss_fn: Callable,        # (preds [G_pad,...], labels, weights) -> scalar
+    metric_fn: Callable,      # (preds np, labels np) -> float  (per split)
+    minimize_metric: bool,
+    warmup_size: int = 10,
+    has_edge_feats: bool = False,
+    label_dtype=jnp.float32,
+):
+    """Train the model, return a result dict with best val/test metrics."""
+    key = set_seed(seed)
+    batch_size = args.batch_size
+
+    first = coll.collate(np.asarray(train_idx)[:batch_size], batch_size)
+    key, ik = jax.random.split(key)
+    apply_args = [first["graph"], jnp.asarray(first["node_feats"])]
+    if has_edge_feats:
+        apply_args.append(jnp.asarray(first["edge_feats"]))
+    variables = model.init(ik, *apply_args)
+    tx = make_adamw(args.lr, args.wd)
+    state = init_state(variables, tx)
+    print(f"Params: {param_count(state.params)}")
+
+    l1 = getattr(args, "l1", 0.0)
+    l2 = getattr(args, "l2", 0.0)
+
+    def forward(params, batch_stats, batch, det, rng):
+        a = [batch["graph"], batch["node_feats"]]
+        if has_edge_feats:
+            a.append(batch["edge_feats"])
+        variables = {"params": params, "batch_stats": batch_stats}
+        if det:
+            preds = model.apply(variables, *a, deterministic=True)
+            return preds, batch_stats
+        preds, upd = model.apply(variables, *a, deterministic=False,
+                                 rngs={"dropout": rng},
+                                 mutable=["batch_stats"])
+        return preds, upd.get("batch_stats", {})
+
+    @jax.jit
+    def train_step(state, rng, batch):
+        def lf(params):
+            preds, bs = forward(params, state.batch_stats, batch, False,
+                                rng)
+            loss = loss_fn(preds, batch["labels"],
+                           batch["graph_weights"])
+            return loss + l1_l2_regularizer(params, l1, l2), bs
+
+        (loss, bs), grads = jax.value_and_grad(lf, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             batch_stats=bs), loss
+
+    @jax.jit
+    def eval_step(state, batch):
+        preds, _ = forward(state.params, state.batch_stats, batch, True,
+                           None)
+        loss = loss_fn(preds, batch["labels"], batch["graph_weights"])
+        return preds, loss
+
+    def to_device(b):
+        out = {"graph": b["graph"]}
+        for k in ("node_feats", "edge_feats", "labels", "graph_weights"):
+            if k in b:
+                out[k] = jnp.asarray(b[k])
+        if "labels" in out:
+            out["labels"] = out["labels"].astype(label_dtype)
+        return out
+
+    def evaluate(idx):
+        losses, preds_all, labels_all = [], [], []
+        for b in coll.loader(np.asarray(idx), batch_size):
+            db = to_device(b)
+            preds, loss = eval_step(state, db)
+            w = b["graph_weights"].astype(bool)
+            losses.append(float(loss))
+            preds_all.append(np.asarray(preds)[w])
+            labels_all.append(np.asarray(b["labels"])[w])
+        metric = metric_fn(np.concatenate(preds_all),
+                           np.concatenate(labels_all))
+        return float(np.mean(losses)), metric
+
+    driver = EpochDriver(epochs=args.epochs, warmup=warmup_size,
+                         factor=args.factor, patience=args.patience,
+                         log_every=args.log_every)
+    shuffle_rng = np.random.default_rng(seed + 12345)
+    best = None
+    better = (lambda a, b: a < b) if minimize_metric else \
+        (lambda a, b: a > b)
+
+    for epoch in range(1, args.epochs + 1):
+        for b in coll.loader(np.asarray(train_idx), batch_size,
+                             shuffle_rng):
+            key, sk = jax.random.split(key)
+            state, _ = train_step(state, sk, to_device(b))
+
+        loss, metric = evaluate(train_idx)
+        if val_idx is not None:
+            val_loss, val_metric = evaluate(val_idx)
+        else:
+            val_loss, val_metric = loss, metric
+        test_loss, test_metric = evaluate(test_idx)
+        state = set_lr_scale(state, driver.scale_for_epoch(epoch, loss))
+
+        if best is None or better(val_metric, best["val_metric"]):
+            best = dict(val_loss=val_loss, val_metric=val_metric,
+                        test_loss=test_loss, test_metric=test_metric)
+
+        if driver.should_log(epoch):
+            print(f"Epoch {epoch:04d} | loss: {loss:.4f} | "
+                  f"metric: {metric:.4f} | val: {val_metric:.4f} | "
+                  f"test: {test_metric:.4f}")
+
+    return best

@@ -1,0 +1,154 @@
+"""ZINC graph-regression harness (reference
+``benchmark-datasets/zinc/train.py``): L1 loss, MAE metric, best-by-val-MAE
+selection, 10-epoch warmup. Loads the npz cache if present; otherwise runs
+on ZINC-shaped synthetic molecules (flagged, not a parity number)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sir_gcn_tpu.data.batching import GraphCollection
+from sir_gcn_tpu.data.loaders import has_cache, synthetic_molecules
+from sir_gcn_tpu.train import aggregate_runs
+from sir_gcn_tpu.train.metrics import mae
+
+from experiments.batched_harness import run_batched_workload
+from experiments.zinc.model import make_gin_model, make_sir_model
+
+
+def load_zinc(args, seed):
+    """npz cache layout: see sir_gcn_tpu/data/loaders.py docstring."""
+    if has_cache("zinc"):
+        from sir_gcn_tpu.data.loaders import _cache_path
+
+        z = np.load(_cache_path("zinc"))
+        graphs, nfeats, efeats = [], [], []
+        on, oe = z["offsets_nodes"], z["offsets_edges"]
+        for i in range(len(on) - 1):
+            s, d = (z["src"][oe[i]:oe[i + 1]], z["dst"][oe[i]:oe[i + 1]])
+            graphs.append((s, d, int(on[i + 1] - on[i])))
+            nfeats.append(z["node_feat"][on[i]:on[i + 1]])
+            efeats.append(z["edge_feat"][oe[i]:oe[i + 1]])
+        labels = z["labels"].astype(np.float32)
+        splits = (z["train_idx"], z["val_idx"], z["test_idx"])
+        return graphs, nfeats, efeats, labels, splits, False
+
+    graphs, nfeats, efeats, labels = synthetic_molecules(
+        num_graphs=args.synthetic_samples, seed=seed)
+    n = len(graphs)
+    tr, va = int(0.8 * n), int(0.9 * n)
+    idx = np.arange(n)
+    return (graphs, nfeats, efeats, labels,
+            (idx[:tr], idx[tr:va], idx[va:]), True)
+
+
+def run_single(args, seed):
+    graphs, nfeats, efeats, labels, (tr, va, te), synthetic = \
+        load_zinc(args, seed)
+    if synthetic:
+        print("[warn] no zinc cache; synthetic stand-in (not parity)")
+    coll = GraphCollection(graphs, node_feats=nfeats, edge_feats=efeats,
+                           labels=labels)
+    input_dim = int(max(f.max() for f in nfeats)) + 1
+    edge_dim = int(max(f.max() for f in efeats)) + 1
+
+    maker = {"SIR": make_sir_model, "GIN": make_gin_model}[args.model]
+    kwargs = dict(
+        num_layers=args.nlayers, input_dropout=args.input_dropout,
+        edge_dropout=args.edge_dropout, dropout=args.dropout,
+        norm=args.norm, readout_layers=args.readout_layers,
+        readout_dropout=args.readout_dropout,
+        readout_pooling=args.readout_pooling,
+        jumping_knowledge=args.jumping_knowledge,
+        residual=args.residual, resid_layers=args.resid_layers,
+        resid_dropout=args.resid_dropout, agg_type=args.agg_type,
+    )
+    if args.model == "SIR":
+        kwargs.update(feat_dropout=args.feat_dropout,
+                      use_edge_feats=args.use_edge_feats)
+    else:
+        kwargs.update(mlp_layers=args.nlayers_mlp)
+    model = maker(input_dim, edge_dim, args.nhidden, 1, **kwargs)
+
+    def l1_loss(preds, labels, weights):
+        err = jnp.abs(preds[:, 0] - labels)
+        return jnp.sum(err * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+    return run_batched_workload(
+        model=model, coll=coll, train_idx=tr, val_idx=va, test_idx=te,
+        args=args, seed=seed, loss_fn=l1_loss,
+        metric_fn=lambda p, l: mae(p[:, 0], l),
+        minimize_metric=True, warmup_size=10,
+        has_edge_feats=args.use_edge_feats,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        "SIR-GCN/GIN implementation on ZINC (TPU-native)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model", type=str, default="SIR",
+                   choices=["SIR", "GIN"])
+    p.add_argument("--nhidden", type=int, default=64)
+    p.add_argument("--nlayers", type=int, default=4)
+    p.add_argument("--input-dropout", type=float, default=0)
+    p.add_argument("--edge-dropout", type=float, default=0)
+    p.add_argument("--dropout", type=float, default=0)
+    p.add_argument("--norm", type=str, default="none",
+                   choices=["gn", "cn", "bn", "ln", "none"])
+    p.add_argument("--readout-layers", type=int, default=1)
+    p.add_argument("--readout-dropout", type=float, default=0)
+    p.add_argument("--readout-pooling", type=str, default="sum",
+                   choices=["sum", "mean"])
+    p.add_argument("--jumping-knowledge", action="store_true")
+    p.add_argument("--residual", action="store_true")
+    p.add_argument("--resid-layers", type=int, default=0)
+    p.add_argument("--resid-dropout", type=float, default=0)
+    p.add_argument("--feat-dropout", type=float, default=0)
+    p.add_argument("--agg-type", type=str, default="sum",
+                   choices=["sum", "max", "mean", "sym"])
+    p.add_argument("--nlayers-mlp", type=int, default=2)
+    p.add_argument("--use-edge-feats", action="store_true",
+                   help="SIREConv2 path (bond-type embedding)")
+    p.add_argument("--add-self-loop", action="store_true")
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wd", type=float, default=0)
+    p.add_argument("--l1", type=float, default=0)
+    p.add_argument("--l2", type=float, default=0)
+    p.add_argument("--factor", type=float, default=0.5)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--nruns", type=int, default=10)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--synthetic-samples", type=int, default=1000)
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    val_maes, test_maes = [], []
+    for i in range(args.nruns):
+        r = run_single(args, args.seed + i)
+        val_maes.append(r["val_metric"])
+        test_maes.append(r["test_metric"])
+
+    print(f"Runned {args.nruns} times")
+    aggregate_runs("val MAE", val_maes)
+    aggregate_runs("test MAE", test_maes)
+    return val_maes, test_maes
+
+
+if __name__ == "__main__":
+    main()
