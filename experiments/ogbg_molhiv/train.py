@@ -1,0 +1,265 @@
+"""ogbg-molhiv harness (reference
+``benchmark-datasets/ogbg-molhiv/train.py``): BCE-on-sigmoid loss
+(train.py:57-58), FLAG adversarial perturbation on the hidden embedding
+(train.py:78-96), ROC-AUC via the rank-statistic evaluator, best-by-val-AUC
+selection."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sir_gcn_tpu.data.batching import GraphCollection
+from sir_gcn_tpu.data.loaders import has_cache, synthetic_ogb_molecules
+from sir_gcn_tpu.train import (
+    EpochDriver,
+    aggregate_runs,
+    init_state,
+    l1_l2_regularizer,
+    make_adamw,
+    param_count,
+    set_lr_scale,
+    set_seed,
+)
+from sir_gcn_tpu.train.metrics import roc_auc
+
+from experiments.ogbg_molhiv.model import GINModel, SIRModel
+
+MODELS = {"SIR": SIRModel, "GIN": GINModel}
+
+
+def load_molhiv(args, seed):
+    if has_cache("ogbg-molhiv"):
+        from sir_gcn_tpu.data.loaders import _cache_path
+
+        z = np.load(_cache_path("ogbg-molhiv"))
+        graphs, nfeats, efeats = [], [], []
+        on, oe = z["offsets_nodes"], z["offsets_edges"]
+        for i in range(len(on) - 1):
+            graphs.append((z["src"][oe[i]:oe[i + 1]],
+                           z["dst"][oe[i]:oe[i + 1]],
+                           int(on[i + 1] - on[i])))
+            nfeats.append(z["node_feat"][on[i]:on[i + 1]])
+            efeats.append(z["edge_feat"][oe[i]:oe[i + 1]])
+        labels = z["labels"].astype(np.float32).ravel()
+        return (graphs, nfeats, efeats, labels,
+                (z["train_idx"], z["val_idx"], z["test_idx"]), False)
+    graphs, nfeats, efeats, labels = synthetic_ogb_molecules(
+        num_graphs=args.synthetic_samples, seed=seed)
+    n = len(graphs)
+    idx = np.arange(n)
+    return (graphs, nfeats, efeats, labels,
+            (idx[:int(0.8 * n)], idx[int(0.8 * n):int(0.9 * n)],
+             idx[int(0.9 * n):]), True)
+
+
+def run_single(args, seed):
+    key = set_seed(seed)
+    graphs, nfeats, efeats, labels, (tr, va, te), synthetic = \
+        load_molhiv(args, seed)
+    if synthetic:
+        print("[warn] no ogbg-molhiv cache; synthetic stand-in")
+    coll = GraphCollection(graphs, node_feats=nfeats, edge_feats=efeats,
+                           labels=labels)
+
+    model = MODELS[args.model](
+        hidden_dim=args.nhidden, output_dim=1, num_layers=args.nlayers,
+        input_dropout=args.input_dropout, dropout=args.dropout,
+        norm=args.norm, readout_pooling=args.readout_pooling,
+        virtual_node=args.virtual_node, vn_layers=args.vn_layers,
+        vn_dropout=args.vn_dropout, vn_residual=args.vn_residual,
+        **({"rand_feat": args.rand_feat, "max_degree": args.max_degree,
+            "residual": args.residual, "feat_dropout": args.feat_dropout,
+            "agg_type": args.agg_type,
+            "use_edge_feats": args.use_edge_feats}
+           if args.model == "SIR" else {"mlp_layers": args.nlayers_mlp}),
+    )
+
+    first = coll.collate(tr[: args.batch_size], args.batch_size)
+    key, ik = jax.random.split(key)
+    variables = model.init(ik, first["graph"],
+                           jnp.asarray(first["node_feats"]),
+                           jnp.asarray(first["edge_feats"]))
+    tx = make_adamw(args.lr, args.wd)
+    state = init_state(variables, tx)
+    print(f"Params: {param_count(state.params)}")
+
+    def bce(preds, labels, weights):
+        p = jax.nn.sigmoid(preds[:, 0])
+        eps = 1e-7
+        ce = -(labels * jnp.log(p + eps)
+               + (1 - labels) * jnp.log(1 - p + eps))
+        return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+    def forward(params, batch_stats, batch, perturb, det, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        a = (batch["graph"], batch["node_feats"], batch["edge_feats"],
+             perturb)
+        if det:
+            return model.apply(variables, *a,
+                               deterministic=True), batch_stats
+        preds, upd = model.apply(variables, *a, deterministic=False,
+                                 rngs={"dropout": rng},
+                                 mutable=["batch_stats"])
+        return preds, upd.get("batch_stats", {})
+
+    m = args.m + 1 if args.flag else 1
+
+    @jax.jit
+    def train_step(state, rng, batch):
+        def lf(params, batch_stats, perturb, rng):
+            preds, bs = forward(params, batch_stats, batch, perturb,
+                                False, rng)
+            loss = (bce(preds, batch["labels"], batch["graph_weights"])
+                    + l1_l2_regularizer(params, args.l1, args.l2)) / m
+            return loss, bs
+
+        bs = state.batch_stats
+        if args.flag:
+            rng, pk = jax.random.split(rng)
+            n_pad = batch["node_feats"].shape[0]
+            perturb = jax.random.uniform(
+                pk, (n_pad, args.nhidden), jnp.float32,
+                -args.step_size, args.step_size)
+            total = 0.0
+            acc = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            for _ in range(m):
+                rng, rk = jax.random.split(rng)
+                (loss, bs), (gp, gpert) = jax.value_and_grad(
+                    lf, argnums=(0, 2), has_aux=True)(
+                    state.params, bs, perturb, rk)
+                acc = jax.tree_util.tree_map(lambda a, b: a + b, acc, gp)
+                total = total + loss
+                perturb = perturb + args.step_size * jnp.sign(gpert)
+            grads, loss = acc, total
+        else:
+            rng, rk = jax.random.split(rng)
+            (loss, bs), grads = jax.value_and_grad(
+                lf, argnums=0, has_aux=True)(state.params, bs, 0.0, rk)
+
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             batch_stats=bs), loss
+
+    @jax.jit
+    def eval_step(state, batch):
+        preds, _ = forward(state.params, state.batch_stats, batch, 0.0,
+                           True, None)
+        return preds, bce(preds, batch["labels"], batch["graph_weights"])
+
+    def to_device(b):
+        return {
+            "graph": b["graph"],
+            "node_feats": jnp.asarray(b["node_feats"]),
+            "edge_feats": jnp.asarray(b["edge_feats"]),
+            "labels": jnp.asarray(b["labels"], jnp.float32),
+            "graph_weights": jnp.asarray(b["graph_weights"]),
+        }
+
+    def evaluate(idx):
+        losses, ps, ls = [], [], []
+        for b in coll.loader(np.asarray(idx), args.batch_size):
+            db = to_device(b)
+            preds, loss = eval_step(state, db)
+            w = b["graph_weights"].astype(bool)
+            losses.append(float(loss))
+            ps.append(np.asarray(preds)[w, 0])
+            ls.append(np.asarray(b["labels"])[w])
+        return (float(np.mean(losses)),
+                roc_auc(np.concatenate(ps), np.concatenate(ls)))
+
+    driver = EpochDriver(epochs=args.epochs, warmup=10,
+                         factor=args.factor, patience=args.patience,
+                         log_every=args.log_every)
+    shuffle_rng = np.random.default_rng(seed + 12345)
+    best = None
+    for epoch in range(1, args.epochs + 1):
+        for b in coll.loader(np.asarray(tr), args.batch_size,
+                             shuffle_rng):
+            key, sk = jax.random.split(key)
+            state, _ = train_step(state, sk, to_device(b))
+        loss, auc = evaluate(tr)
+        val_loss, val_auc = evaluate(va)
+        test_loss, test_auc = evaluate(te)
+        state = set_lr_scale(state, driver.scale_for_epoch(epoch, loss))
+        if best is None or val_auc > best["val_metric"]:
+            best = dict(val_metric=val_auc, test_metric=test_auc)
+        if driver.should_log(epoch):
+            print(f"Epoch {epoch:04d} | loss: {loss:.4f} | "
+                  f"auc: {auc:.4f} | val: {val_auc:.4f} | "
+                  f"test: {test_auc:.4f}")
+    return best
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        "SIR-GCN/GIN implementation on ogbg-molhiv (TPU-native)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model", type=str, default="SIR",
+                   choices=["SIR", "GIN"])
+    p.add_argument("--nhidden", type=int, default=64)
+    p.add_argument("--nlayers", type=int, default=4)
+    p.add_argument("--input-dropout", type=float, default=0)
+    p.add_argument("--dropout", type=float, default=0)
+    p.add_argument("--norm", type=str, default="none",
+                   choices=["gn", "cn", "bn", "ln", "none"])
+    p.add_argument("--readout-pooling", type=str, default="sum",
+                   choices=["sum", "mean"])
+    p.add_argument("--virtual-node", action="store_true")
+    p.add_argument("--vn-layers", type=int, default=2)
+    p.add_argument("--vn-dropout", type=float, default=0)
+    p.add_argument("--vn-residual", action="store_true")
+    p.add_argument("--rand-feat", action="store_true")
+    p.add_argument("--max-degree", type=int, default=0)
+    p.add_argument("--residual", action="store_true")
+    p.add_argument("--feat-dropout", type=float, default=0)
+    p.add_argument("--agg-type", type=str, default="sum",
+                   choices=["sum", "max", "mean", "sym"])
+    p.add_argument("--use-edge-feats", action="store_true")
+    p.add_argument("--nlayers-mlp", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wd", type=float, default=0)
+    p.add_argument("--l1", type=float, default=0)
+    p.add_argument("--l2", type=float, default=0)
+    p.add_argument("--factor", type=float, default=0.5)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--flag", action="store_true")
+    p.add_argument("--m", type=int, default=3)
+    p.add_argument("--step-size", type=float, default=1e-3)
+    p.add_argument("--nruns", type=int, default=10)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--synthetic-samples", type=int, default=1000)
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    val_aucs, test_aucs = [], []
+    for i in range(args.nruns):
+        r = run_single(args, args.seed + i)
+        val_aucs.append(r["val_metric"])
+        test_aucs.append(r["test_metric"])
+
+    print(f"Runned {args.nruns} times")
+    aggregate_runs("val ROC-AUC", val_aucs)
+    aggregate_runs("test ROC-AUC", test_aucs)
+    return val_aucs, test_aucs
+
+
+if __name__ == "__main__":
+    main()

@@ -132,6 +132,36 @@ def synthetic_node_classification(
     )
 
 
+def synthetic_ogb_molecules(
+    num_graphs: int = 1000,
+    min_nodes: int = 9,
+    max_nodes: int = 30,
+    seed: int = 0,
+):
+    """ogbg-molhiv-shaped synthetic graphs: 9-column OGB atom features,
+    3-column bond features, binary graph label derived from structure."""
+    from ..models.encoders import ATOM_FEATURE_DIMS, BOND_FEATURE_DIMS
+
+    rng = np.random.default_rng(seed)
+    graphs, nfeats, efeats, labels = [], [], [], []
+    for _ in range(num_graphs):
+        n = int(rng.integers(min_nodes, max_nodes + 1))
+        s = list(range(n - 1)) + rng.integers(0, n, max(1, n // 5)).tolist()
+        d = list(range(1, n)) + rng.integers(0, n, max(1, n // 5)).tolist()
+        src = np.asarray(s + d, np.int32)
+        dst = np.asarray(d + s, np.int32)
+        nf = np.stack([rng.integers(0, c, n)
+                       for c in ATOM_FEATURE_DIMS], 1).astype(np.int32)
+        ef = np.stack([rng.integers(0, c, len(src))
+                       for c in BOND_FEATURE_DIMS], 1).astype(np.int32)
+        y = float(nf[:, 0].mean() > ATOM_FEATURE_DIMS[0] / 2 - 1)
+        graphs.append((src, dst, n))
+        nfeats.append(nf)
+        efeats.append(ef)
+        labels.append(y)
+    return graphs, nfeats, efeats, np.asarray(labels, np.float32)
+
+
 def synthetic_molecules(
     num_graphs: int = 1000,
     min_nodes: int = 9,
