@@ -44,6 +44,7 @@ def run_batched_workload(
     warmup_size: int = 10,
     has_edge_feats: bool = False,
     label_dtype=jnp.float32,
+    node_level: bool = False,
 ):
     """Train the model, return a result dict with best val/test metrics."""
     key = set_seed(seed)
@@ -80,8 +81,12 @@ def run_batched_workload(
         def lf(params):
             preds, bs = forward(params, state.batch_stats, batch, False,
                                 rng)
-            loss = loss_fn(preds, batch["labels"],
-                           batch["graph_weights"])
+            if node_level:
+                loss = loss_fn(preds, batch["node_labels"],
+                               batch["node_weights"])
+            else:
+                loss = loss_fn(preds, batch["labels"],
+                               batch["graph_weights"])
             return loss + l1_l2_regularizer(params, l1, l2), bs
 
         (loss, bs), grads = jax.value_and_grad(lf, has_aux=True)(
@@ -97,16 +102,22 @@ def run_batched_workload(
     def eval_step(state, batch):
         preds, _ = forward(state.params, state.batch_stats, batch, True,
                            None)
-        loss = loss_fn(preds, batch["labels"], batch["graph_weights"])
+        if node_level:
+            loss = loss_fn(preds, batch["node_labels"],
+                           batch["node_weights"])
+        else:
+            loss = loss_fn(preds, batch["labels"], batch["graph_weights"])
         return preds, loss
 
     def to_device(b):
         out = {"graph": b["graph"]}
-        for k in ("node_feats", "edge_feats", "labels", "graph_weights"):
+        for k in ("node_feats", "edge_feats", "labels", "graph_weights",
+                  "node_labels", "node_weights"):
             if k in b:
                 out[k] = jnp.asarray(b[k])
-        if "labels" in out:
-            out["labels"] = out["labels"].astype(label_dtype)
+        for k in ("labels", "node_labels"):
+            if k in out:
+                out[k] = out[k].astype(label_dtype)
         return out
 
     def evaluate(idx):
@@ -114,10 +125,15 @@ def run_batched_workload(
         for b in coll.loader(np.asarray(idx), batch_size):
             db = to_device(b)
             preds, loss = eval_step(state, db)
-            w = b["graph_weights"].astype(bool)
             losses.append(float(loss))
-            preds_all.append(np.asarray(preds)[w])
-            labels_all.append(np.asarray(b["labels"])[w])
+            if node_level:
+                w = b["node_weights"].astype(bool)
+                preds_all.append(np.asarray(preds)[w])
+                labels_all.append(np.asarray(b["node_labels"])[w])
+            else:
+                w = b["graph_weights"].astype(bool)
+                preds_all.append(np.asarray(preds)[w])
+                labels_all.append(np.asarray(b["labels"])[w])
         metric = metric_fn(np.concatenate(preds_all),
                            np.concatenate(labels_all))
         return float(np.mean(losses)), metric

@@ -1,0 +1,126 @@
+"""Shared full-graph node-classification harness (wiki-cs, heterophilous).
+
+One jitted train/eval step over the whole (padded) graph, masked losses per
+split, 10-epoch warmup + plateau scheduling, best-by-val-loss selection —
+the ``run`` skeleton of ``benchmark-datasets/wiki-cs/train.py:60-115`` and
+``benchmark-datasets/heterophilous-datasets/train.py:67-124``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Callable
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sir_gcn_tpu.train import (
+    EpochDriver,
+    init_state,
+    l1_l2_regularizer,
+    make_adamw,
+    param_count,
+    set_lr_scale,
+    set_seed,
+)
+
+
+def masked_ce(logits, labels, w):
+    logp = jax.nn.log_softmax(logits)
+    ce = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                              1)[:, 0]
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def masked_bce_logits(logits, labels, w):
+    z = logits[:, 0] if logits.ndim > 1 else logits
+    ce = jnp.maximum(z, 0) - z * labels + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def run_fullgraph_workload(
+    *,
+    model,
+    graph,
+    feats: np.ndarray,          # [n_pad, D]
+    labels: np.ndarray,         # [n_pad]
+    masks: tuple,               # (train_w, val_w, test_w) float [n_pad]
+    args,
+    seed: int,
+    loss_fn: Callable = masked_ce,
+    metric_fn: Callable = None,  # (logits np, labels np) -> float
+    warmup_size: int = 10,
+    dtype=jnp.float32,
+):
+    key = set_seed(seed)
+    train_w, val_w, test_w = masks
+
+    feats_j = jnp.asarray(feats, dtype)
+    labels_j = jnp.asarray(labels)
+    key, ik = jax.random.split(key)
+    variables = model.init(ik, graph, feats_j)
+    tx = make_adamw(args.lr, args.wd)
+    state = init_state(variables, tx)
+    print(f"Params: {param_count(state.params)}")
+
+    tw = jnp.asarray(train_w)
+
+    @jax.jit
+    def train_step(state, rng, feats, labels):
+        def lf(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            logits, upd = model.apply(
+                variables, graph, feats, deterministic=False,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            loss = (loss_fn(logits, labels, tw)
+                    + l1_l2_regularizer(params, getattr(args, "l1", 0.0),
+                                        getattr(args, "l2", 0.0)))
+            return loss, upd.get("batch_stats", {})
+
+        (loss, bs), grads = jax.value_and_grad(lf, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             batch_stats=bs), loss
+
+    @jax.jit
+    def eval_step(state, feats):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        return model.apply(variables, graph, feats, deterministic=True)
+
+    driver = EpochDriver(epochs=args.epochs, warmup=warmup_size,
+                         factor=args.factor, patience=args.patience,
+                         log_every=args.log_every)
+    best = None
+    for epoch in range(1, args.epochs + 1):
+        key, sk = jax.random.split(key)
+        state, _ = train_step(state, sk, feats_j, labels_j)
+
+        logits = np.asarray(eval_step(state, feats_j))
+        metrics = {}
+        for name, w in (("", train_w), ("val_", val_w),
+                        ("test_", test_w)):
+            idx = w.astype(bool)
+            lw = jnp.asarray(w)
+            metrics[f"{name}loss"] = float(
+                loss_fn(jnp.asarray(logits), labels_j, lw))
+            metrics[f"{name}metric"] = metric_fn(logits[idx], labels[idx])
+
+        state = set_lr_scale(
+            state, driver.scale_for_epoch(epoch, metrics["loss"]))
+        if best is None or metrics["val_loss"] < best["val_loss"]:
+            best = dict(metrics)
+        if driver.should_log(epoch):
+            print(f"Epoch {epoch:04d} | "
+                  + " | ".join(f"{k}: {v:.4f}"
+                               for k, v in metrics.items()))
+    return best

@@ -1,0 +1,163 @@
+"""Heterophilous-datasets harness (reference
+``benchmark-datasets/heterophilous-datasets/train.py``): five datasets
+(roman-empire, amazon-ratings, minesweeper, tolokers, questions) over 10
+predefined splits; binary tasks use BCEWithLogits + ROC-AUC, multiclass CE
++ accuracy, selected per dataset (train.py:44-56); best-by-val-loss;
+``--use-amp`` -> bf16 compute policy."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sir_gcn_tpu import add_self_loops, build_graph, remove_self_loops
+from sir_gcn_tpu.data.loaders import (
+    has_cache,
+    synthetic_node_classification,
+)
+from sir_gcn_tpu.train import aggregate_runs
+from sir_gcn_tpu.train.metrics import accuracy, roc_auc
+
+from experiments.fullgraph_harness import (
+    masked_bce_logits,
+    masked_ce,
+    run_fullgraph_workload,
+)
+from experiments.heterophilous.model import SIRModel
+
+DATASETS = ("roman-empire", "amazon-ratings", "minesweeper", "tolokers",
+            "questions")
+BINARY = {"minesweeper", "tolokers", "questions"}
+NUM_SPLITS = 10
+
+
+def load_hetero(args, seed, split):
+    name = args.dataset
+    if has_cache(name):
+        from sir_gcn_tpu.data.loaders import _cache_path
+
+        z = np.load(_cache_path(name))
+        return (z["src"], z["dst"], z["feat"].astype(np.float32),
+                z["labels"].astype(np.int64), z["train_masks"][split],
+                z["val_masks"][split], z["test_masks"][split], False)
+    classes = 2 if name in BINARY else 8
+    d = synthetic_node_classification(
+        num_nodes=args.synthetic_nodes, num_edges=args.synthetic_edges,
+        feat_dim=128, num_classes=classes, homophily=0.15,
+        seed=seed * NUM_SPLITS + split)
+    n = d.feat.shape[0]
+    def m(idx):
+        w = np.zeros(n, bool); w[idx] = True; return w
+    return (d.src, d.dst, d.feat, d.labels, m(d.train_idx),
+            m(d.val_idx), m(d.test_idx), True)
+
+
+def run_single(args, seed, split):
+    src, dst, feat, labels, tr, va, te, synthetic = load_hetero(
+        args, seed, split)
+    if synthetic:
+        print("[warn] no cache for", args.dataset, "; synthetic stand-in")
+    n = feat.shape[0]
+    if args.add_self_loop:
+        src, dst = remove_self_loops(src, dst)
+        src, dst = add_self_loops(src, dst, n)
+    graph = build_graph(src, dst, n, pad_multiple=128)
+
+    binary = args.dataset in BINARY
+    num_classes = 1 if binary else int(labels.max()) + 1
+    n_pad = graph.n_pad
+    feats_p = np.zeros((n_pad, feat.shape[1]), np.float32)
+    feats_p[:n] = feat
+    labels_p = np.zeros(n_pad, np.float32 if binary else np.int32)
+    labels_p[:n] = labels
+
+    def mask_of(m):
+        w = np.zeros(n_pad, np.float32)
+        w[:n] = m.astype(np.float32)
+        return w
+
+    model = SIRModel(
+        hidden_dim=args.nhidden, output_dim=num_classes,
+        num_layers=args.nlayers, input_dropout=args.input_dropout,
+        dropout=args.dropout, norm=args.norm, residual=args.residual,
+        feat_dropout=args.feat_dropout, agg_type=args.agg_type,
+        use_bf16=args.use_amp,
+    )
+
+    if binary:
+        loss_fn = masked_bce_logits
+        metric = lambda lg, lb: roc_auc(lg[:, 0], lb)
+    else:
+        loss_fn = masked_ce
+        metric = lambda lg, lb: accuracy(lg, lb.astype(np.int64))
+
+    return run_fullgraph_workload(
+        model=model, graph=graph, feats=feats_p, labels=labels_p,
+        masks=(mask_of(tr), mask_of(va), mask_of(te)),
+        args=args, seed=seed, loss_fn=loss_fn, metric_fn=metric,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        "SIR-GCN implementation on HeterophilousGraphs (TPU-native)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use-amp", action="store_true",
+                   help="bf16 compute policy (TPU analog of AMP)")
+    p.add_argument("--dataset", type=str, default="roman-empire",
+                   choices=list(DATASETS))
+    p.add_argument("--model", type=str, default="SIR", choices=["SIR"])
+    p.add_argument("--nhidden", type=int, default=512)
+    p.add_argument("--nlayers", type=int, default=5)
+    p.add_argument("--input-dropout", type=float, default=0)
+    p.add_argument("--dropout", type=float, default=0)
+    p.add_argument("--norm", type=str, default="none",
+                   choices=["bn", "ln", "none"])
+    p.add_argument("--residual", action="store_true")
+    p.add_argument("--feat-dropout", type=float, default=0)
+    p.add_argument("--agg-type", type=str, default="mean",
+                   choices=["sum", "max", "mean", "sym"])
+    p.add_argument("--add-self-loop", action="store_true")
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=3e-5)
+    p.add_argument("--wd", type=float, default=0)
+    p.add_argument("--l1", type=float, default=0)
+    p.add_argument("--l2", type=float, default=0)
+    p.add_argument("--factor", type=float, default=0.5)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--nruns", type=int, default=1)
+    p.add_argument("--nsplits", type=int, default=NUM_SPLITS)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--synthetic-nodes", type=int, default=2048)
+    p.add_argument("--synthetic-edges", type=int, default=16384)
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    vals, tests = [], []
+    for i in range(args.nruns):
+        for split in range(args.nsplits):
+            r = run_single(args, args.seed + i, split)
+            vals.append(r["val_metric"])
+            tests.append(r["test_metric"])
+
+    name = "ROC-AUC" if args.dataset in BINARY else "accuracy"
+    print(f"Runned {args.nruns} x {args.nsplits} times")
+    aggregate_runs(f"val {name}", vals)
+    aggregate_runs(f"test {name}", tests)
+    return vals, tests
+
+
+if __name__ == "__main__":
+    main()

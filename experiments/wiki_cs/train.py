@@ -1,0 +1,179 @@
+"""wiki-cs harness (reference ``benchmark-datasets/wiki-cs/train.py``):
+full-graph node classification over 20 predefined splits x nruns
+(train.py:161-168), ``val + stopping`` masks merged (train.py:44), CE loss,
+best-by-val-loss. Model: JK SIR stack with per-layer DropEdge and MLP
+residuals (model.py:12-50); GATv2 baseline (model.py:53-90)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sir_gcn_tpu import (
+    add_self_loops,
+    build_graph,
+    remove_self_loops,
+    to_bidirected,
+)
+from sir_gcn_tpu.data.loaders import (
+    has_cache,
+    load_node_classification,
+    synthetic_node_classification,
+)
+from sir_gcn_tpu.train import aggregate_runs
+from sir_gcn_tpu.train.metrics import accuracy
+
+from experiments.common_models import GraphSIRModel
+from experiments.fullgraph_harness import run_fullgraph_workload
+from experiments.ogbn_arxiv.model import GATModel
+
+NUM_SPLITS = 20
+
+
+def load_wiki(args, seed, split):
+    if has_cache("wiki-cs"):
+        from sir_gcn_tpu.data.loaders import _cache_path
+
+        z = np.load(_cache_path("wiki-cs"))
+        src, dst, feat = z["src"], z["dst"], z["feat"].astype(np.float32)
+        labels = z["labels"].astype(np.int64)
+        tr = z["train_masks"][split]
+        va = (z["val_masks"][split] | z["stopping_masks"][split])
+        te = z["test_mask"]
+        return src, dst, feat, labels, tr, va, te, False
+    d = synthetic_node_classification(
+        num_nodes=args.synthetic_nodes, num_edges=args.synthetic_edges,
+        feat_dim=300, num_classes=10, seed=seed * NUM_SPLITS + split)
+    n = d.feat.shape[0]
+    tr = np.zeros(n, bool); tr[d.train_idx] = True
+    va = np.zeros(n, bool); va[d.val_idx] = True
+    te = np.zeros(n, bool); te[d.test_idx] = True
+    return d.src, d.dst, d.feat, d.labels, tr, va, te, True
+
+
+def run_single(args, seed, split):
+    src, dst, feat, labels, tr, va, te, synthetic = load_wiki(
+        args, seed, split)
+    if synthetic:
+        print("[warn] no wiki-cs cache; synthetic stand-in")
+    n = feat.shape[0]
+    if args.add_reverse_edge:
+        src, dst = to_bidirected(src, dst)
+    if args.add_self_loop:
+        src, dst = remove_self_loops(src, dst)
+        src, dst = add_self_loops(src, dst, n)
+    graph = build_graph(src, dst, n, pad_multiple=128)
+
+    num_classes = int(labels.max()) + 1
+    n_pad = graph.n_pad
+    feats_p = np.zeros((n_pad, feat.shape[1]), np.float32)
+    feats_p[:n] = feat
+    labels_p = np.zeros(n_pad, np.int32)
+    labels_p[:n] = labels
+
+    def mask_of(m):
+        w = np.zeros(n_pad, np.float32)
+        w[:n] = m.astype(np.float32)
+        return w
+
+    if args.model == "SIR":
+        model = GraphSIRModel(
+            encoder=lambda mdl, f: f,  # raw features (model.py:34)
+            hidden_dim=args.nhidden, output_dim=num_classes,
+            num_layers=args.nlayers, input_dropout=args.input_dropout,
+            edge_dropout=args.edge_dropout, dropout=args.dropout,
+            norm=args.norm, readout_layers=args.readout_layers,
+            readout_dropout=args.readout_dropout,
+            jumping_knowledge=args.jumping_knowledge,
+            residual=args.residual, resid_layers=args.resid_layers,
+            resid_dropout=args.resid_dropout,
+            feat_dropout=args.feat_dropout, agg_type=args.agg_type,
+            pool_after_readout=False,
+        )
+    else:
+        model = GATModel(
+            hidden_dim=args.nhidden, output_dim=num_classes,
+            num_layers=args.nlayers, input_dropout=args.input_dropout,
+            edge_dropout=args.edge_dropout, dropout=args.dropout,
+            norm=args.norm, readout_layers=args.readout_layers,
+            readout_dropout=args.readout_dropout,
+            jumping_knowledge=args.jumping_knowledge,
+            num_heads=args.nheads,
+        )
+
+    return run_fullgraph_workload(
+        model=model, graph=graph, feats=feats_p, labels=labels_p,
+        masks=(mask_of(tr), mask_of(va), mask_of(te)),
+        args=args, seed=seed,
+        metric_fn=lambda lg, lb: accuracy(lg, lb.astype(np.int64)),
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        "SIR-GCN/GATv2 implementation on WikiCS (TPU-native)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model", type=str, default="SIR",
+                   choices=["SIR", "GAT"])
+    p.add_argument("--nhidden", type=int, default=64)
+    p.add_argument("--nlayers", type=int, default=4)
+    p.add_argument("--input-dropout", type=float, default=0)
+    p.add_argument("--edge-dropout", type=float, default=0)
+    p.add_argument("--dropout", type=float, default=0)
+    p.add_argument("--norm", type=str, default="none",
+                   choices=["cn", "bn", "ln", "none"])
+    p.add_argument("--readout-layers", type=int, default=1)
+    p.add_argument("--readout-dropout", type=float, default=0)
+    p.add_argument("--jumping-knowledge", action="store_true")
+    p.add_argument("--residual", action="store_true")
+    p.add_argument("--resid-layers", type=int, default=0)
+    p.add_argument("--resid-dropout", type=float, default=0)
+    p.add_argument("--feat-dropout", type=float, default=0)
+    p.add_argument("--agg-type", type=str, default="mean",
+                   choices=["sum", "max", "mean", "sym"])
+    p.add_argument("--nheads", type=int, default=1)
+    p.add_argument("--attn-dropout", type=float, default=0)
+    p.add_argument("--add-self-loop", action="store_true")
+    p.add_argument("--add-reverse-edge", action="store_true")
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wd", type=float, default=0)
+    p.add_argument("--l1", type=float, default=0)
+    p.add_argument("--l2", type=float, default=0)
+    p.add_argument("--factor", type=float, default=0.5)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--nruns", type=int, default=10)
+    p.add_argument("--nsplits", type=int, default=NUM_SPLITS)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--synthetic-nodes", type=int, default=2048)
+    p.add_argument("--synthetic-edges", type=int, default=16384)
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    val_accs, test_accs = [], []
+    for i in range(args.nruns):
+        for split in range(args.nsplits):
+            r = run_single(args, args.seed + i, split)
+            val_accs.append(r["val_metric"])
+            test_accs.append(r["test_metric"])
+
+    print(f"Runned {args.nruns} x {args.nsplits} times")
+    aggregate_runs("val accuracy", val_accs)
+    aggregate_runs("test accuracy", test_accs)
+    return val_accs, test_accs
+
+
+if __name__ == "__main__":
+    main()

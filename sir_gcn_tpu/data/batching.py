@@ -39,11 +39,13 @@ class GraphCollection:
         node_feats: Optional[Sequence[np.ndarray]] = None,
         edge_feats: Optional[Sequence[np.ndarray]] = None,
         labels: Optional[np.ndarray] = None,
+        node_labels: Optional[Sequence[np.ndarray]] = None,
     ):
         self.graphs = list(graphs)
         self.node_feats = node_feats
         self.edge_feats = edge_feats
         self.labels = labels
+        self.node_labels = node_labels
         self.max_nodes = max(g[2] for g in self.graphs)
         self.max_edges = max(len(g[0]) for g in self.graphs)
 
@@ -75,6 +77,13 @@ class GraphCollection:
             lab = np.asarray(self.labels)[idx]
             pad = np.zeros((g_pad - lab.shape[0],) + lab.shape[1:], lab.dtype)
             out["labels"] = np.concatenate([lab, pad])
+        if self.node_labels is not None:
+            nl = np.concatenate([self.node_labels[i] for i in idx])
+            pad = np.zeros((n_pad - nl.shape[0],) + nl.shape[1:], nl.dtype)
+            out["node_labels"] = np.concatenate([nl, pad])
+            nw = np.zeros(n_pad, np.float32)
+            nw[: nl.shape[0]] = 1.0
+            out["node_weights"] = nw
         w = np.zeros(g_pad, np.float32)
         w[: len(idx)] = 1.0
         out["graph_weights"] = w
