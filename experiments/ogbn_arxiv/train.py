@@ -386,6 +386,12 @@ def main(argv=None):
         if data.synthetic:
             print("[warn] no ogbn-arxiv cache; using synthetic stand-in "
                   "(not a parity number)")
+        if args.use_xrt_emb:
+            # GIANT-XRT embeddings replace the raw features
+            # (reference train.py:48-50)
+            data.feat = np.load(
+                "dataset/ogbn_arxiv_xrt/X.all.xrt-emb.npy"
+            ).astype(np.float32)
         result = run_single(args, args.seed + i, data, i)
         val_accs.append(result["val_acc"])
         test_accs.append(result["test_acc"])
