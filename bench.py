@@ -52,8 +52,11 @@ def main():
     E = int(graph.num_edges)
     log(f"padded: n_pad={graph.n_pad} e_pad={graph.e_pad} edges={E}")
     log("building ELL fast-graph plans ...")
+    from sir_gcn_tpu.ops import set_edge_dtype
     from sir_gcn_tpu.ops.ell import build_fast_graph
     graph = build_fast_graph(graph)
+    # bf16 edge pipeline (f32 accumulation) — the framework's AMP analog
+    set_edge_dtype(jnp.bfloat16)
 
     model = SIRModel(hidden_dim=HIDDEN, output_dim=NUM_CLASSES,
                      num_layers=LAYERS, dropout=0.2, norm="bn",

@@ -135,13 +135,79 @@ class ReducePlan:
         return self.slot_edge.shape[0]
 
 
+def _chunk_budgets(chunk_cnt: np.ndarray) -> np.ndarray:
+    """Budget per chunk: power of two up to 8, then next multiple of 8 —
+    finer granularity than pure powers of two cuts slot inflation
+    ~1.4x -> ~1.1x."""
+    return np.where(
+        chunk_cnt <= 8,
+        2 ** np.ceil(np.log2(np.maximum(chunk_cnt, 1))).astype(np.int64),
+        ((chunk_cnt + 7) // 8) * 8,
+    ).astype(np.int64)
+
+
 def _bucketize(item_keys: np.ndarray, item_ids: np.ndarray, num_keys: int,
                max_budget: int):
     """Group items by key, chunk runs at ``max_budget``, pad chunks to
-    power-of-two budgets, bucket by budget.
+    bucketed budgets (see :func:`_chunk_budgets`).
 
     Returns (slot_item [S], slot_valid [S], slot_key [S], buckets,
-    row_keys [R])."""
+    row_keys [R]). Uses the native C++ builder when available."""
+    order0 = np.argsort(item_keys, kind="stable")
+    gkeys = np.ascontiguousarray(item_keys[order0], np.int64)
+    gids = np.ascontiguousarray(item_ids[order0], np.int64)
+    m = int(gkeys.shape[0])
+
+    try:
+        from .. import native as _native
+
+        lib = _native.load_ellplan()
+    except Exception:
+        lib = None
+
+    if lib is not None and m > 0:
+        chunk_key = np.empty(m, np.int64)
+        chunk_cnt = np.empty(m, np.int64)
+        chunk_start = np.empty(m, np.int64)
+        n_chunks = int(lib.ell_chunks(
+            _native.as_i64p(gkeys), m, max_budget,
+            _native.as_i64p(chunk_key), _native.as_i64p(chunk_cnt),
+            _native.as_i64p(chunk_start)))
+        chunk_key = chunk_key[:n_chunks]
+        chunk_cnt = chunk_cnt[:n_chunks]
+        chunk_start = chunk_start[:n_chunks]
+        budgets = _chunk_budgets(chunk_cnt)
+
+        order = np.ascontiguousarray(
+            np.argsort(budgets, kind="stable"), np.int64)
+        sorted_b = budgets[order]
+        slot_base = np.zeros(n_chunks, np.int64)
+        np.cumsum(sorted_b[:-1], out=slot_base[1:])
+        total = int(sorted_b.sum())
+
+        slot_item = np.empty(total, np.int64)
+        slot_valid = np.empty(total, np.float32)
+        slot_key = np.empty(total, np.int64)
+        lib.ell_fill_slots(
+            _native.as_i64p(gids), _native.as_i64p(chunk_key),
+            _native.as_i64p(chunk_cnt), _native.as_i64p(chunk_start),
+            _native.as_i64p(np.ascontiguousarray(budgets)),
+            _native.as_i64p(order),
+            _native.as_i64p(slot_base), n_chunks,
+            _native.as_i64p(slot_item), _native.as_f32p(slot_valid),
+            _native.as_i64p(slot_key))
+
+        uniq_b, counts_b = np.unique(sorted_b, return_counts=True)
+        buckets = [(int(b), int(c)) for b, c in zip(uniq_b, counts_b)]
+        row_keys = chunk_key[order]
+        return slot_item, slot_valid, slot_key, buckets, row_keys
+
+    return _bucketize_numpy(item_keys, item_ids, num_keys, max_budget)
+
+
+def _bucketize_numpy(item_keys: np.ndarray, item_ids: np.ndarray,
+                     num_keys: int, max_budget: int):
+    """Pure-NumPy reference implementation (fallback + test oracle)."""
     order = np.argsort(item_keys, kind="stable")
     gkeys = item_keys[order]
     gids = item_ids[order]
@@ -157,8 +223,7 @@ def _bucketize(item_keys: np.ndarray, item_ids: np.ndarray, num_keys: int,
     chunk_key = np.asarray(chunk_key, np.int64)
     chunk_cnt = np.asarray(chunk_cnt, np.int64)
     chunk_start = np.asarray(chunk_start, np.int64)
-    budgets = (2 ** np.ceil(np.log2(np.maximum(chunk_cnt, 1)))
-               ).astype(np.int64)
+    budgets = _chunk_budgets(chunk_cnt)
 
     slot_item, slot_valid, slot_key = [], [], []
     buckets, row_keys = [], []
@@ -392,11 +457,16 @@ def make_ell_sir_aggregate_pallas(
     agg_type: str,
     with_edge: bool = False,
     interpret: bool = False,
+    edge_dtype=None,
 ):
     """Pallas-kernel variant of :func:`make_ell_sir_aggregate`: the
     broadcast+activation+reduce stages run as fused streaming kernels per
     budget bucket (see ``ops/pallas/kernels.py``); gathers stay on XLA's
-    ``take``. Numerics match the XLA variant exactly (f32, same order)."""
+    ``take``. With the default ``edge_dtype=None`` numerics match the XLA
+    variant exactly (f32, same order); ``edge_dtype=jnp.bfloat16`` halves
+    the edge-pipeline HBM traffic (gathered keys and backward slot
+    cotangents carried in bf16, all accumulation still f32) — the
+    framework's AMP analog for the message-passing hot path."""
     assert agg_type in ("sum", "mean", "sym")
     from .pallas import (
         bucket_bcast_act_reduce,
@@ -410,9 +480,15 @@ def make_ell_sir_aggregate_pallas(
     offs_s = _bucket_offsets(splan.buckets1)
 
     def slot_inputs(eq, ek, e, edge_scale):
+        if edge_dtype is not None:
+            ek = ek.astype(edge_dtype)
         ekg = jnp.take(ek, fg.dst_slot_srcnode, axis=0)
         if with_edge:
-            ekg = ekg + plan.gather_edges(e)
+            eg = plan.gather_edges(
+                e.astype(edge_dtype) if edge_dtype is not None else e)
+            ekg = (ekg.astype(jnp.float32)
+                   + eg.astype(jnp.float32)).astype(ekg.dtype) \
+                if edge_dtype is not None else ekg + eg
         eq_rows = jnp.take(eq, plan.row_key, axis=0)
         s = plan.gather_edges(edge_scale) * plan.slot_valid
         return ekg, eq_rows, s
@@ -445,7 +521,7 @@ def make_ell_sir_aggregate_pallas(
                 ekg[so:so + b * nr], eq_rows[ro:ro + nr],
                 s[so:so + b * nr].reshape(nr, b),
                 g_rows1[ro:ro + nr], b, activation,
-                interpret=interpret)
+                interpret=interpret, gz_dtype=edge_dtype)
             g_z_parts.append(gz)
             g_eqr_parts.append(geq)
         g_z = (jnp.concatenate(g_z_parts) if len(g_z_parts) > 1
@@ -531,11 +607,12 @@ def make_ell_sir_aggregate(
         # d e: per-edge cotangent in sorted-edge order
         if with_edge:
             g_e = (jnp.take(g_z, fg.edge2dst_slot, axis=0)
-                   * fg.edge_mask[:, None].astype(g_z.dtype))
+                   .astype(jnp.float32)
+                   * fg.edge_mask[:, None].astype(jnp.float32))
         else:
-            g_e = jnp.zeros((0,), g_z.dtype)
+            g_e = jnp.zeros((0,), jnp.float32)
         return (g_eq, g_ek, g_e,
-                jnp.zeros((fg.e_pad,), g_z.dtype))
+                jnp.zeros((fg.e_pad,), jnp.float32))
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -549,9 +626,14 @@ def ell_sir_aggregate(fg: FastGraph, eq, ek, activation, agg_type,
     if use_pallas is None:
         from .pallas import pallas_available
         use_pallas = pallas_available()
-    maker = (make_ell_sir_aggregate_pallas if use_pallas
-             else make_ell_sir_aggregate)
-    f = maker(fg, activation, agg_type, with_edge=e is not None)
+    if use_pallas:
+        from .message_passing import get_edge_dtype
+        f = make_ell_sir_aggregate_pallas(
+            fg, activation, agg_type, with_edge=e is not None,
+            edge_dtype=get_edge_dtype())
+    else:
+        f = make_ell_sir_aggregate(fg, activation, agg_type,
+                                   with_edge=e is not None)
     if edge_scale is None:
         edge_scale = fg.edge_mask.astype(eq.dtype)
     if e is None:

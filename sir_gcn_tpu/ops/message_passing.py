@@ -29,6 +29,7 @@ from ..graph import GraphBatch
 from . import segment as seg
 
 _BACKEND = "xla"  # 'xla' | 'pallas'
+_EDGE_DTYPE = None  # None (f32) | jnp.bfloat16
 
 
 def set_backend(name: str) -> None:
@@ -39,6 +40,18 @@ def set_backend(name: str) -> None:
 
 def get_backend() -> str:
     return _BACKEND
+
+
+def set_edge_dtype(dtype) -> None:
+    """Set the edge-pipeline carry dtype for the Pallas fast path
+    (None = f32 exact; jnp.bfloat16 halves HBM traffic, f32 accumulation
+    — the framework's AMP analog for message passing)."""
+    global _EDGE_DTYPE
+    _EDGE_DTYPE = dtype
+
+
+def get_edge_dtype():
+    return _EDGE_DTYPE
 
 
 def _edge_scale(graph: GraphBatch, agg_type: str) -> Optional[jax.Array]:

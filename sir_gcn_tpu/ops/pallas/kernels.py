@@ -32,9 +32,10 @@ def pallas_available() -> bool:
 
 
 def _tile_rows(budget: int) -> int:
-    # cap rows so the lane-padded (TR, B) scale block stays small, and the
-    # double-buffered VMEM footprint of the bwd kernel fits in 16MB
-    return max(min(_SLOT_TILE // budget, 1024), 8)
+    # cap rows so the lane-padded (TR, B) scale block stays small and the
+    # double-buffered VMEM footprint of the bwd kernel fits in 16MB;
+    # TR must be a multiple of 8 (sublane divisibility of the (TR, H) blocks)
+    return max((min(_SLOT_TILE // budget, 1024) // 8) * 8, 8)
 
 
 def _cdiv(a, b):
@@ -57,7 +58,7 @@ def bucket_bcast_act_reduce(
     grid = (_cdiv(R, TR),)
 
     def kernel(ekg_ref, eq_ref, sc_ref, out_ref):
-        z = (ekg_ref[:].reshape(TR, B, H)
+        z = (ekg_ref[:].astype(jnp.float32).reshape(TR, B, H)
              + eq_ref[:][:, None, :])
         m = activation(z) * sc_ref[:][:, :, None]
         out_ref[:] = m.sum(axis=1)
@@ -88,6 +89,7 @@ def bucket_bcast_act_reduce_bwd(
     budget: int,
     activation: Callable[[jax.Array], jax.Array],
     interpret: bool = False,
+    gz_dtype=None,
 ):
     """Backward of :func:`bucket_bcast_act_reduce` (recompute-z scheme).
 
@@ -100,14 +102,15 @@ def bucket_bcast_act_reduce_bwd(
     B = budget
     TR = _tile_rows(B)
     grid = (_cdiv(R, TR),)
+    gz_dtype = gz_dtype or eq_rows.dtype
 
     def kernel(ekg_ref, eq_ref, sc_ref, g_ref, gz_ref, geq_ref):
-        z = (ekg_ref[:].reshape(TR, B, H)
+        z = (ekg_ref[:].astype(jnp.float32).reshape(TR, B, H)
              + eq_ref[:][:, None, :])
         _, vjp = jax.vjp(activation, z)
         g_m = g_ref[:][:, None, :] * sc_ref[:][:, :, None]
         (g_z,) = vjp(g_m)
-        gz_ref[:] = g_z.reshape(TR * B, H)
+        gz_ref[:] = g_z.reshape(TR * B, H).astype(gz_dtype)
         geq_ref[:] = g_z.sum(axis=1)
 
     return pl.pallas_call(
@@ -130,7 +133,7 @@ def bucket_bcast_act_reduce_bwd(
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((R * B, H), eq_rows.dtype),
+            jax.ShapeDtypeStruct((R * B, H), gz_dtype),
             jax.ShapeDtypeStruct((R, H), eq_rows.dtype),
         ),
         interpret=interpret,
@@ -152,7 +155,8 @@ def bucket_scaled_reduce(
     grid = (_cdiv(R, TR),)
 
     def kernel(v_ref, sc_ref, out_ref):
-        v = v_ref[:].reshape(TR, B, H) * sc_ref[:][:, :, None]
+        v = (v_ref[:].astype(jnp.float32).reshape(TR, B, H)
+             * sc_ref[:][:, :, None])
         out_ref[:] = v.sum(axis=1)
 
     return pl.pallas_call(
@@ -166,6 +170,6 @@ def bucket_scaled_reduce(
         ],
         out_specs=pl.BlockSpec((TR, H), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, H), values.dtype),
+        out_shape=jax.ShapeDtypeStruct((R, H), jnp.float32),
         interpret=interpret,
     )(values, scale)
