@@ -50,21 +50,29 @@ class SIRModel(nn.Module):
                       name="classifier")(x)
 
 
-class GCNModel(nn.Module):
-    """GraphConv baseline (reference model.py:38-62) — chance-level on this
-    task; reproduced for the discriminative-power contrast table."""
+class _BaselineModel(nn.Module):
+    """Shared baseline skeleton (reference model.py:38-170): key+val
+    embeddings summed, ReLU, conv stack, bias-free classifier. Subclasses
+    provide the conv. All sit at chance level on this task — the
+    discriminative-power contrast SIR-GCN is sold on (README.md:50-74)."""
 
     input_dim: int
     hidden_dim: int
     output_dim: int
     num_layers: int = 1
     dropout: float = 0.0
+    num_heads: int = 1
+    mlp_layers: int = 2
+
+    def conv(self, i):
+        raise NotImplementedError
+
+    def post(self, x):
+        return x
 
     @nn.compact
     def __call__(self, graph: GraphBatch, feats: jax.Array, *,
                  deterministic: bool = True) -> jax.Array:
-        from sir_gcn_tpu.models.zoo import GraphConv
-
         x = (Embed(self.input_dim + 1, self.hidden_dim,
                    name="key_embedding")(feats[:, 0])
              + Embed(self.input_dim + 1, self.hidden_dim,
@@ -72,6 +80,51 @@ class GCNModel(nn.Module):
         x = jax.nn.relu(x)
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         for i in range(self.num_layers):
-            x = GraphConv(self.hidden_dim, name=f"conv_{i}")(graph, x)
+            x = self.post(self.conv(i)(graph, x))
             x = drop(x)
-        return Linear(self.output_dim, use_bias=False, name="classifier")(x)
+        return Linear(self.output_dim, use_bias=False,
+                      name="classifier")(x)
+
+
+class GCNModel(_BaselineModel):
+    def conv(self, i):
+        from sir_gcn_tpu.models.zoo import GraphConv
+
+        return GraphConv(self.hidden_dim, name=f"conv_{i}")
+
+
+class SAGEModel(_BaselineModel):
+    def conv(self, i):
+        from sir_gcn_tpu.models.zoo import SAGEConv
+
+        return SAGEConv(self.hidden_dim, name=f"conv_{i}")
+
+
+class GATModel(_BaselineModel):
+    def conv(self, i):
+        from sir_gcn_tpu.models.zoo import GATv2Conv
+
+        return GATv2Conv(self.hidden_dim, self.num_heads,
+                         name=f"conv_{i}")
+
+    def post(self, x):
+        return x.mean(axis=1)  # head-mean (reference model.py:112)
+
+
+class GINModel(_BaselineModel):
+    def conv(self, i):
+        from sir_gcn_tpu.models import MLP
+        from sir_gcn_tpu.models.zoo import GINConv
+
+        mlp = MLP(self.hidden_dim, self.hidden_dim, self.hidden_dim,
+                  self.mlp_layers, 0.0, "none", jax.nn.relu,
+                  include_last=True, with_graph=False,
+                  name=f"mlp_{i}")
+        return GINConv(apply_func=lambda h: mlp(h), name=f"conv_{i}")
+
+
+class PNAModel(_BaselineModel):
+    def conv(self, i):
+        from sir_gcn_tpu.models.zoo import PNAConv
+
+        return PNAConv(self.hidden_dim, name=f"conv_{i}")

@@ -30,9 +30,17 @@ from sir_gcn_tpu.train import (
     set_seed,
 )
 
-from experiments.dictionary_lookup.model import GCNModel, SIRModel
+from experiments.dictionary_lookup.model import (
+    GATModel,
+    GCNModel,
+    GINModel,
+    PNAModel,
+    SAGEModel,
+    SIRModel,
+)
 
-MODELS = {"SIR": SIRModel, "GCN": GCNModel}
+MODELS = {"SIR": SIRModel, "GCN": GCNModel, "SAGE": SAGEModel,
+          "GAT": GATModel, "GIN": GINModel, "PNA": PNAModel}
 
 
 def make_batcher(ds: DictionaryLookupDataset, batch_size: int):
@@ -81,9 +89,12 @@ def run_single(args, seed: int):
     template, key_mask_np, _ = make_batcher(ds, args.batch_size)
     n_pad = template.n_pad
 
+    extra = ({} if args.model == "SIR"
+             else {"num_heads": args.nheads,
+                   "mlp_layers": args.nlayers_mlp})
     model = MODELS[args.model](
         input_dim=n, hidden_dim=args.nhidden, output_dim=n,
-        num_layers=args.nlayers, dropout=args.dropout,
+        num_layers=args.nlayers, dropout=args.dropout, **extra,
     )
     key, init_key = jax.random.split(key)
     dummy_feats = jnp.zeros((n_pad, 2), jnp.int32)
@@ -173,6 +184,8 @@ def main(argv=None):
     p.add_argument("--nhidden", type=int, default=64)
     p.add_argument("--nlayers", type=int, default=1)
     p.add_argument("--dropout", type=float, default=0)
+    p.add_argument("--nheads", type=int, default=1)
+    p.add_argument("--nlayers-mlp", type=int, default=2)
     p.add_argument("--nodes", type=int, default=10)
     p.add_argument("--samples", type=int, default=5000)
     p.add_argument("--train-size", type=float, default=0.8)

@@ -57,13 +57,23 @@ class GCNModel(nn.Module):
         return Linear(self.output_dim, use_bias=False, name="regression")(x)
 
 
-class GATModel(nn.Module):
+class _PoolBaseline(nn.Module):
+    """Shared baseline skeleton: embed -> convs -> SumPool -> regression
+    (reference model.py:37-169; pooling before the head, unlike SIR)."""
+
     input_dim: int
     hidden_dim: int
     output_dim: int = 1
     num_layers: int = 1
     dropout: float = 0.0
     num_heads: int = 1
+    mlp_layers: int = 1
+
+    def conv(self, i):
+        raise NotImplementedError
+
+    def post(self, x):
+        return x
 
     @nn.compact
     def __call__(self, graph: GraphBatch, feats: jax.Array, *,
@@ -71,8 +81,42 @@ class GATModel(nn.Module):
         x = Embed(self.input_dim, self.hidden_dim, name="embedding")(feats)
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         for i in range(self.num_layers):
-            x = GATv2Conv(self.hidden_dim, self.num_heads,
-                          name=f"conv_{i}")(graph, x).mean(axis=1)
+            x = self.post(self.conv(i)(graph, x))
             x = drop(x)
         x = sum_pool(graph, x)
-        return Linear(self.output_dim, use_bias=False, name="regression")(x)
+        return Linear(self.output_dim, use_bias=False,
+                      name="regression")(x)
+
+
+class GATModel(_PoolBaseline):
+    def conv(self, i):
+        return GATv2Conv(self.hidden_dim, self.num_heads,
+                         name=f"conv_{i}")
+
+    def post(self, x):
+        return x.mean(axis=1)
+
+
+class SAGEModel(_PoolBaseline):
+    def conv(self, i):
+        from sir_gcn_tpu.models.zoo import SAGEConv
+
+        return SAGEConv(self.hidden_dim, name=f"conv_{i}")
+
+
+class GINModel(_PoolBaseline):
+    def conv(self, i):
+        from sir_gcn_tpu.models import MLP
+        from sir_gcn_tpu.models.zoo import GINConv
+
+        mlp = MLP(self.hidden_dim, self.hidden_dim, self.hidden_dim,
+                  self.mlp_layers, 0.0, "none", jax.nn.relu,
+                  include_last=True, with_graph=False, name=f"mlp_{i}")
+        return GINConv(apply_func=lambda h: mlp(h), name=f"conv_{i}")
+
+
+class PNAModel(_PoolBaseline):
+    def conv(self, i):
+        from sir_gcn_tpu.models.zoo import PNAConv
+
+        return PNAConv(self.hidden_dim, name=f"conv_{i}")

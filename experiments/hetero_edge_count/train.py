@@ -27,9 +27,17 @@ from sir_gcn_tpu.train import (
     set_seed,
 )
 
-from experiments.hetero_edge_count.model import GATModel, GCNModel, SIRModel
+from experiments.hetero_edge_count.model import (
+    GATModel,
+    GCNModel,
+    GINModel,
+    PNAModel,
+    SAGEModel,
+    SIRModel,
+)
 
-MODELS = {"SIR": SIRModel, "GCN": GCNModel, "GAT": GATModel}
+MODELS = {"SIR": SIRModel, "GCN": GCNModel, "SAGE": SAGEModel,
+          "GAT": GATModel, "GIN": GINModel, "PNA": PNAModel}
 
 
 def run_single(args, seed: int):
@@ -44,9 +52,12 @@ def run_single(args, seed: int):
     train_idx = np.arange(n_train)
     test_idx = np.arange(n_train, len(ds))
 
+    extra = ({} if args.model == "SIR"
+             else {"num_heads": args.nheads,
+                   "mlp_layers": args.nlayers_mlp})
     model = MODELS[args.model](
         input_dim=args.classes, hidden_dim=args.nhidden, output_dim=1,
-        num_layers=args.nlayers, dropout=args.dropout,
+        num_layers=args.nlayers, dropout=args.dropout, **extra,
     )
     first = coll.collate(train_idx[: args.batch_size], args.batch_size)
     key, init_key = jax.random.split(key)
@@ -125,6 +136,7 @@ def main(argv=None):
     p.add_argument("--nlayers", type=int, default=1)
     p.add_argument("--dropout", type=float, default=0)
     p.add_argument("--nheads", type=int, default=1)
+    p.add_argument("--nlayers-mlp", type=int, default=1)
     p.add_argument("--nodes", type=int, default=50,
                    help="maximum number of nodes in random graphs")
     p.add_argument("--classes", type=int, default=5)

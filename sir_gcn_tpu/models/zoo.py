@@ -120,6 +120,56 @@ class GINEConv(nn.Module):
         return self.apply_func((1.0 + self.init_eps) * feat + agg)
 
 
+class PNAConv(nn.Module):
+    """Principal Neighbourhood Aggregation, DGL ``PNAConv`` on the settings
+    the reference uses (single tower, aggregators ['sum','max','std'],
+    scalers ['identity'], residual=False —
+    ``synthetic-datasets/dictionary-lookup/model.py:155``):
+
+        m_vu = M([h_u || h_v]);  h_u' = U([h_u || agg_1 || ... || agg_k])
+    """
+
+    features: int
+    aggregators: tuple = ("sum", "max", "std")
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, feat: jax.Array,
+                 edge_mask: Optional[jax.Array] = None) -> jax.Array:
+        valid = (graph.edge_mask if edge_mask is None
+                 else jnp.logical_and(graph.edge_mask, edge_mask))
+        din = feat.shape[-1]
+        m = Linear(din, name="M")(jnp.concatenate(
+            [jnp.take(feat, graph.dst, axis=0),
+             jnp.take(feat, graph.src, axis=0)], -1))
+        vmask = valid[:, None]
+        m0 = jnp.where(vmask, m, 0.0)
+        n = graph.n_pad
+        counts = jnp.maximum(jax.ops.segment_sum(
+            valid.astype(m.dtype), graph.dst, n,
+            indices_are_sorted=True), 1.0)[:, None]
+
+        parts = [feat]
+        s = jax.ops.segment_sum(m0, graph.dst, n, indices_are_sorted=True)
+        for agg in self.aggregators:
+            if agg == "sum":
+                parts.append(s)
+            elif agg == "mean":
+                parts.append(s / counts)
+            elif agg == "max":
+                parts.append(segment.segment_max(m, graph.dst, n, valid))
+            elif agg == "std":
+                mean = s / counts
+                sq = jax.ops.segment_sum(jnp.where(vmask, m * m, 0.0),
+                                         graph.dst, n,
+                                         indices_are_sorted=True) / counts
+                parts.append(jnp.sqrt(
+                    jax.nn.relu(sq - mean * mean) + 1e-10))
+            else:
+                raise NotImplementedError(agg)
+        return Linear(self.features, name="U")(
+            jnp.concatenate(parts, -1))
+
+
 class SAGEConv(nn.Module):
     """GraphSAGE, DGL ``SAGEConv`` with aggregator_type='pool':
     h_pool = max_v ReLU(W_pool h_v + b); h_u = W_self h_u + W_neigh h_pool."""
