@@ -49,7 +49,9 @@ EPS = 1.0 - np.log(2.0)
 
 def build_arxiv_graph(data, args):
     """Graph transforms exactly as load_dataset (reference train.py:42-55):
-    bidirect or reverse, then optional self-loop refresh."""
+    bidirect or reverse, then optional self-loop refresh. On TPU the graph
+    is wrapped with ELL fast-path plans (ops/ell.py) unless --no-fast-path
+    is given."""
     src, dst = data.src, data.dst
     if args.add_reverse_edge:
         src, dst = to_bidirected(src, dst)
@@ -58,7 +60,12 @@ def build_arxiv_graph(data, args):
     if args.add_self_loop:
         src, dst = remove_self_loops(src, dst)
         src, dst = add_self_loops(src, dst, data.feat.shape[0])
-    return build_graph(src, dst, data.feat.shape[0], pad_multiple=128)
+    graph = build_graph(src, dst, data.feat.shape[0], pad_multiple=128)
+    if getattr(args, "no_fast_path", False):
+        return graph
+    from sir_gcn_tpu.ops.ell import build_fast_graph
+
+    return build_fast_graph(graph)
 
 
 def masked_mean(x, w):
@@ -361,6 +368,8 @@ def get_args(argv=None):
     p.add_argument("--nruns", type=int, default=10)
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--save-pred", action="store_true")
+    p.add_argument("--no-fast-path", action="store_true",
+                   help="disable the ELL fast path (debugging)")
     # synthetic fallback controls (no reference analog; zero-egress env)
     p.add_argument("--synthetic-nodes", type=int, default=4096)
     p.add_argument("--synthetic-edges", type=int, default=32768)

@@ -70,6 +70,10 @@ def run_single(args, seed, split):
         src, dst = remove_self_loops(src, dst)
         src, dst = add_self_loops(src, dst, n)
     graph = build_graph(src, dst, n, pad_multiple=128)
+    if not getattr(args, "no_fast_path", False):
+        from sir_gcn_tpu.ops.ell import build_fast_graph
+
+        graph = build_fast_graph(graph)
 
     num_classes = int(labels.max()) + 1
     n_pad = graph.n_pad
@@ -155,6 +159,7 @@ def main(argv=None):
     p.add_argument("--nruns", type=int, default=10)
     p.add_argument("--nsplits", type=int, default=NUM_SPLITS)
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--no-fast-path", action="store_true")
     p.add_argument("--synthetic-nodes", type=int, default=2048)
     p.add_argument("--synthetic-edges", type=int, default=16384)
     args = p.parse_args(argv)
