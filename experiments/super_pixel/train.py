@@ -67,7 +67,7 @@ def run_single(args, seed):
     te = idx[int(0.9 * n):]
     coll = GraphCollection(graphs, node_feats=nfeats, labels=labels)
 
-    model = GraphSIRModel(
+    common = dict(
         encoder=lambda mdl, f: f,  # raw features (model.py:40)
         hidden_dim=args.nhidden, output_dim=num_classes,
         num_layers=args.nlayers, input_dropout=args.input_dropout,
@@ -77,9 +77,16 @@ def run_single(args, seed):
         readout_pooling=args.readout_pooling,
         jumping_knowledge=args.jumping_knowledge,
         residual=args.residual, resid_layers=args.resid_layers,
-        resid_dropout=args.resid_dropout, feat_dropout=args.feat_dropout,
-        agg_type=args.agg_type,
+        resid_dropout=args.resid_dropout,
     )
+    if args.model == "SIR":
+        model = GraphSIRModel(feat_dropout=args.feat_dropout,
+                              agg_type=args.agg_type, **common)
+    else:
+        from experiments.common_models import GraphGINModel
+
+        model = GraphGINModel(mlp_layers=args.nlayers_mlp,
+                              agg_type=args.agg_type, **common)
 
     def ce(preds, labels, weights):
         labels = labels.astype(jnp.int32)
@@ -104,7 +111,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dataset", type=str, default="MNIST",
                    choices=["MNIST", "CIFAR10"])
-    p.add_argument("--model", type=str, default="SIR", choices=["SIR"])
+    p.add_argument("--model", type=str, default="SIR",
+                   choices=["SIR", "GIN"])
+    p.add_argument("--nlayers-mlp", type=int, default=2)
     p.add_argument("--use-feature", action="store_true")
     p.add_argument("--nhidden", type=int, default=64)
     p.add_argument("--nlayers", type=int, default=4)
