@@ -618,6 +618,88 @@ def make_ell_sir_aggregate(
     return f
 
 
+def make_ell_sir_aggregate_max(
+    fg: FastGraph,
+    activation: Callable[[jax.Array], jax.Array],
+    with_edge: bool = False,
+):
+    """Scatter-free max-aggregation path (SURVEY N2: the per-edge W_R GEMM
+    before the reduce — ``models/conv.py:47``):
+
+        out[u] = max_e act(eq[u] + ek[src_e] [+ e_e]) @ W_R + b
+
+    The [S, H] x [H, O] per-slot matmul runs on the MXU; the reduce is the
+    bucketed reshape-max; empty nodes zero-fill (DGL semantics). Backward
+    routes cotangents through the argmax slots (ties split equally) with
+    the same take/reduce vocabulary as the linear path — no scatter.
+    """
+    plan = fg.dst_plan
+    splan = fg.src_plan
+
+    def slot_pre(eq, ek, e):
+        z = plan.spread(eq) + jnp.take(ek, fg.dst_slot_srcnode, axis=0)
+        if with_edge:
+            z = z + plan.gather_edges(e)
+        return z
+
+    def fwd_compute(eq, ek, e, edge_scale, w, b):
+        z = slot_pre(eq, ek, e)
+        m = activation(z) @ w
+        if b is not None:
+            m = m + b
+        valid = (plan.gather_edges(edge_scale) * plan.slot_valid) > 0
+        neg = jnp.finfo(m.dtype).min
+        mv = jnp.where(valid[:, None], m, neg)
+        out = plan.reduce_slots_max(mv)
+        has_any = plan.reduce_slots_sum(
+            valid.astype(m.dtype)[:, None]) > 0
+        out = jnp.where(has_any & (out > neg / 2), out, 0.0)
+        return out, (mv, valid)
+
+    @jax.custom_vjp
+    def f(eq, ek, e, edge_scale, w, b):
+        return fwd_compute(eq, ek, e, edge_scale, w, b)[0]
+
+    def f_fwd(eq, ek, e, edge_scale, w, b):
+        out, (mv, valid) = fwd_compute(eq, ek, e, edge_scale, w, b)
+        return out, (eq, ek, e, edge_scale, w, b, out, valid)
+
+    def f_bwd(res, g):
+        eq, ek, e, edge_scale, w, b, out, valid = res
+        # recompute slot pre-activations and activations
+        z = slot_pre(eq, ek, e)
+        a = activation(z)
+        m = a @ w + b
+        # winner mask per (slot, o); ties split equally
+        out_s = plan.spread(out)
+        win = (jnp.abs(m - out_s) <= 0) & valid[:, None]
+        win = win.astype(m.dtype)
+        counts = plan.reduce_slots_sum(win)
+        g_m = plan.spread(g / jnp.maximum(counts, 1.0)) * win
+
+        g_b = jnp.sum(g_m, axis=0)
+        g_w = a.T @ g_m
+        g_a = g_m @ w.T
+        _, act_vjp = jax.vjp(activation, z)
+        (g_z,) = act_vjp(g_a)
+        g_z = g_z * plan.slot_valid[:, None]
+
+        g_eq = plan.reduce_slots_sum(g_z)
+        g_z_src = (jnp.take(g_z, fg.src_slot_from_dst_slot, axis=0)
+                   * splan.slot_valid[:, None])
+        g_ek = splan.reduce_slots_sum(g_z_src)
+        if with_edge:
+            g_e = (jnp.take(g_z, fg.edge2dst_slot, axis=0)
+                   * fg.edge_mask[:, None].astype(g_z.dtype))
+        else:
+            g_e = jnp.zeros((0,), g_z.dtype)
+        return (g_eq, g_ek, g_e, jnp.zeros((fg.e_pad,), g_z.dtype),
+                g_w, g_b)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def ell_sir_aggregate(fg: FastGraph, eq, ek, activation, agg_type,
                       e=None, edge_scale=None, use_pallas=None):
     """One-shot convenience wrapper (the builder itself is cheap; the jit

@@ -121,8 +121,19 @@ def sir_aggregate(
                 * graph.dst_plan.slot_valid[:, None])
             out = out / jnp.maximum(counts, 1.0)
         return out
-    if isinstance(graph, FastGraph):
-        graph = graph.graph  # max agg: fall back to the CSR path
+    if isinstance(graph, FastGraph):  # max aggregation fast path
+        from .ell import make_ell_sir_aggregate_max
+
+        g = graph.graph
+        valid = g.edge_mask if edge_mask is None else jnp.logical_and(
+            g.edge_mask, edge_mask)
+        f = make_ell_sir_aggregate_max(graph, activation,
+                                       with_edge=e is not None)
+        b = (b_relation if b_relation is not None
+             else jnp.zeros((w_relation.shape[1],), eq.dtype))
+        if e is None:
+            e = jnp.zeros((0,), eq.dtype)
+        return f(eq, ek, e, valid.astype(eq.dtype), w_relation, b)
 
     valid = graph.edge_mask if edge_mask is None else jnp.logical_and(
         graph.edge_mask, edge_mask

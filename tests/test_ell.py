@@ -140,15 +140,43 @@ def test_fast_graph_edge_mask(rng):
                                    atol=2e-4, rtol=1e-4)
 
 
-def test_fast_graph_max_falls_back(rng):
-    g, *_ = make_graph(rng)
-    fg = build_fast_graph(g)
+@pytest.mark.parametrize("skew", [False, True])
+def test_fast_graph_max_matches_reference(rng, skew):
+    g, *_ = make_graph(rng, skew=skew)
+    fg = build_fast_graph(g, max_budget=16)
     eq = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
     ek = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
     wr = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
-    ref = sir_aggregate(g, eq, ek, jnp.tanh, "max", w_relation=wr)
-    got = sir_aggregate(fg, eq, ek, jnp.tanh, "max", w_relation=wr)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    br = jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+    ref = sir_aggregate(g, eq, ek, jnp.tanh, "max", w_relation=wr,
+                        b_relation=br)
+    got = sir_aggregate(fg, eq, ek, jnp.tanh, "max", w_relation=wr,
+                        b_relation=br)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_fast_graph_max_gradients(rng):
+    g, *_ = make_graph(rng)
+    fg = build_fast_graph(g, max_budget=16)
+    eq = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    wr = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+    br = jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+    wout = jnp.asarray(rng.normal(size=(g.n_pad, 4)), jnp.float32)
+
+    def loss(graph):
+        def inner(eq, ek, wr, br):
+            out = sir_aggregate(graph, eq, ek, jnp.tanh, "max",
+                                w_relation=wr, b_relation=br)
+            return jnp.sum(out * wout)
+        return inner
+
+    ref_g = jax.grad(loss(g), argnums=(0, 1, 2, 3))(eq, ek, wr, br)
+    got_g = jax.grad(loss(fg), argnums=(0, 1, 2, 3))(eq, ek, wr, br)
+    for a, b in zip(got_g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-3)
 
 
 def test_sirconv_on_fast_graph(rng):
