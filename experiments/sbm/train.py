@@ -49,19 +49,38 @@ def synthetic_sbm(num_graphs, num_nodes, num_classes, seed):
     return graphs, nfeats, nlabels
 
 
+def load_cached(name):
+    """npz layout: zinc-style offsets + per-node labels in node_label."""
+    from sir_gcn_tpu.data.loaders import _cache_path
+
+    z = np.load(_cache_path(name))
+    graphs, nfeats, nlabels = [], [], []
+    on, oe = z["offsets_nodes"], z["offsets_edges"]
+    for i in range(len(on) - 1):
+        graphs.append((z["src"][oe[i]:oe[i + 1]],
+                       z["dst"][oe[i]:oe[i + 1]],
+                       int(on[i + 1] - on[i])))
+        nfeats.append(z["node_feat"][on[i]:on[i + 1]])
+        nlabels.append(z["node_label"][on[i]:on[i + 1]])
+    return (graphs, nfeats, nlabels,
+            (z["train_idx"], z["val_idx"], z["test_idx"]))
+
+
 def run_single(args, seed):
-    if has_cache(f"sbm-{args.dataset.lower()}"):
-        raise NotImplementedError(
-            "cache loading TODO: same layout as zinc with node_labels")
+    name = f"sbm-{args.dataset.lower()}"
     num_classes = 2 if args.dataset == "PATTERN" else 6
-    graphs, nfeats, nlabels = synthetic_sbm(
-        args.synthetic_samples, 40, num_classes, seed)
-    print("[warn] no SBM cache; synthetic stand-in")
-    input_dim = num_classes + 1
-    n = len(graphs)
-    idx = np.arange(n)
-    tr, va, te = (idx[:int(0.8 * n)], idx[int(0.8 * n):int(0.9 * n)],
-                  idx[int(0.9 * n):])
+    if has_cache(name):
+        graphs, nfeats, nlabels, (tr, va, te) = load_cached(name)
+        input_dim = int(max(f.max() for f in nfeats)) + 1
+    else:
+        graphs, nfeats, nlabels = synthetic_sbm(
+            args.synthetic_samples, 40, num_classes, seed)
+        print("[warn] no SBM cache; synthetic stand-in")
+        input_dim = num_classes + 1
+        n = len(graphs)
+        idx = np.arange(n)
+        tr, va, te = (idx[:int(0.8 * n)], idx[int(0.8 * n):int(0.9 * n)],
+                      idx[int(0.9 * n):])
 
     coll = GraphCollection(graphs, node_feats=nfeats, node_labels=nlabels)
 

@@ -54,17 +54,31 @@ def synthetic_superpixel(num_graphs, num_classes, use_feature, seed):
 
 
 def run_single(args, seed):
-    if has_cache(f"superpixel-{args.dataset.lower()}"):
-        raise NotImplementedError("cache loading TODO")
     num_classes = 10
-    graphs, nfeats, labels = synthetic_superpixel(
-        args.synthetic_samples, num_classes, args.use_feature, seed)
-    print("[warn] no super-pixel cache; synthetic stand-in")
-    n = len(graphs)
-    idx = np.arange(n)
-    n_val = min(n // 5, 5000)
-    va, tr = idx[:n_val], idx[n_val:int(0.9 * n)]
-    te = idx[int(0.9 * n):]
+    name = f"superpixel-{args.dataset.lower()}"
+    if has_cache(name):
+        from sir_gcn_tpu.data.loaders import _cache_path
+
+        z = np.load(_cache_path(name))
+        graphs, nfeats = [], []
+        on, oe = z["offsets_nodes"], z["offsets_edges"]
+        for i in range(len(on) - 1):
+            graphs.append((z["src"][oe[i]:oe[i + 1]],
+                           z["dst"][oe[i]:oe[i + 1]],
+                           int(on[i + 1] - on[i])))
+            nfeats.append(z["node_feat"][on[i]:on[i + 1]].astype(
+                np.float32))
+        labels = z["labels"].astype(np.int64)
+        tr, va, te = z["train_idx"], z["val_idx"], z["test_idx"]
+    else:
+        graphs, nfeats, labels = synthetic_superpixel(
+            args.synthetic_samples, num_classes, args.use_feature, seed)
+        print("[warn] no super-pixel cache; synthetic stand-in")
+        n = len(graphs)
+        idx = np.arange(n)
+        n_val = min(n // 5, 5000)
+        va, tr = idx[:n_val], idx[n_val:int(0.9 * n)]
+        te = idx[int(0.9 * n):]
     coll = GraphCollection(graphs, node_feats=nfeats, labels=labels)
 
     common = dict(

@@ -131,6 +131,51 @@ def convert_ogbg_molhiv(out):
     )
 
 
+def convert_sbm(out, name):
+    from dgl.data import CLUSTERDataset, PATTERNDataset
+
+    cls = PATTERNDataset if name == "PATTERN" else CLUSTERDataset
+    packs, node_labels, splits, start = [], [], {}, 0
+    for mode in ("train", "valid", "test"):
+        ds = cls(mode=mode)
+        for g in ds:
+            packs.append((g, g.ndata["feat"].numpy(),
+                          np.zeros((g.num_edges(), 0), np.float32), 0.0))
+            node_labels.append(g.ndata["label"].numpy())
+        splits[mode] = np.arange(start, start + len(ds))
+        start += len(ds)
+    data = _pack_graph_dataset(packs)
+    np.savez_compressed(
+        os.path.join(out, f"sbm_{name.lower()}.npz"), **data,
+        node_label=np.concatenate(node_labels),
+        train_idx=splits["train"], val_idx=splits["valid"],
+        test_idx=splits["test"],
+    )
+
+
+def convert_superpixel(out, name):
+    from dgl.data import CIFAR10SuperPixelDataset, MNISTSuperPixelDataset
+
+    cls = (MNISTSuperPixelDataset if name == "MNIST"
+           else CIFAR10SuperPixelDataset)
+    packs, labels, splits, start = [], [], {}, 0
+    for mode in ("train", "test"):
+        ds = cls(split=mode, use_feature=True)
+        for g, y in ds:
+            packs.append((g, g.ndata["feat"].numpy(),
+                          g.edata["feat"].numpy(), float(y)))
+        splits[mode] = np.arange(start, start + len(ds))
+        start += len(ds)
+    data = _pack_graph_dataset(packs)
+    n_train = len(splits["train"])
+    np.savez_compressed(
+        os.path.join(out, f"superpixel_{name.lower()}.npz"), **data,
+        # first 5000 of train held out as val (reference train.py:48-49)
+        train_idx=splits["train"][5000:], val_idx=splits["train"][:5000],
+        test_idx=splits["test"],
+    )
+
+
 CONVERTERS = {
     "ogbn-arxiv": convert_ogbn_arxiv,
     "wiki-cs": convert_wiki_cs,
@@ -139,6 +184,11 @@ CONVERTERS = {
     **{n: (lambda out, n=n: convert_heterophilous(out, n))
        for n in ("roman-empire", "amazon-ratings", "minesweeper",
                  "tolokers", "questions")},
+    **{f"sbm-{n.lower()}": (lambda out, n=n: convert_sbm(out, n))
+       for n in ("PATTERN", "CLUSTER")},
+    **{f"superpixel-{n.lower()}":
+       (lambda out, n=n: convert_superpixel(out, n))
+       for n in ("MNIST", "CIFAR10")},
 }
 
 
