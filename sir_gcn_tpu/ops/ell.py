@@ -566,7 +566,9 @@ def make_ell_sir_aggregate(
     ``f(eq, ek, e, edge_scale) -> [N_pad, H]`` where ``edge_scale``
     [E_pad] carries the dynamic per-edge factor (sym norms, mean 1/deg,
     DropEdge mask) and ``e`` is the edge projection in sorted order (or
-    None). Differentiable wrt eq/ek/e via a scatter-free custom VJP.
+    None). Differentiable wrt eq/ek/e via a scatter-free custom VJP;
+    ``edge_scale`` is treated as NON-differentiable (it derives from graph
+    degrees and masks in every caller).
     """
     assert agg_type in ("sum", "mean", "sym")
     plan = fg.dst_plan

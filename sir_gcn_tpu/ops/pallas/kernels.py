@@ -23,19 +23,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# slots per tile ~= 4MB of f32 at H=128
-_SLOT_TILE = 4096
+# slots per tile: the fwd kernel's working set is ~1 slot block + small
+# row blocks, so it can afford 8192 slots (4MB f32 at H=128) double-buffered;
+# the bwd kernel also materializes the g_z slot block and must stay at 4096
+# to fit 16MB VMEM.
+_SLOT_TILE_FWD = 8192
+_SLOT_TILE_BWD = 4096
 
 
 def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _tile_rows(budget: int) -> int:
+def _tile_rows(budget: int, slot_tile: int = _SLOT_TILE_BWD) -> int:
     # cap rows so the lane-padded (TR, B) scale block stays small and the
-    # double-buffered VMEM footprint of the bwd kernel fits in 16MB;
-    # TR must be a multiple of 8 (sublane divisibility of the (TR, H) blocks)
-    return max((min(_SLOT_TILE // budget, 1024) // 8) * 8, 8)
+    # double-buffered VMEM footprint fits in 16MB; TR must be a multiple
+    # of 8 (sublane divisibility of the (TR, H) blocks)
+    return max((min(slot_tile // budget, 1024) // 8) * 8, 8)
 
 
 def _cdiv(a, b):
@@ -54,7 +58,7 @@ def bucket_bcast_act_reduce(
     R = eq_rows.shape[0]
     H = eq_rows.shape[1]
     B = budget
-    TR = _tile_rows(B)
+    TR = _tile_rows(B, _SLOT_TILE_FWD)
     grid = (_cdiv(R, TR),)
 
     def kernel(ekg_ref, eq_ref, sc_ref, out_ref):
