@@ -252,9 +252,12 @@ def _bucketize_numpy(item_keys: np.ndarray, item_ids: np.ndarray,
 
 
 def build_reduce_plan(keys: np.ndarray, valid: np.ndarray, num_keys: int,
-                      max_budget: int = MAX_BUDGET) -> ReducePlan:
+                      max_budget: int = MAX_BUDGET,
+                      force_stage2: bool = False) -> ReducePlan:
     """Host-side construction of a :class:`ReducePlan` over the graph's
-    sorted-edge arrays."""
+    sorted-edge arrays. ``force_stage2`` always builds the hub second
+    stage (needed when several plans must share a common static structure
+    — see :func:`harmonize_reduce_plans`)."""
     keys = np.asarray(keys, np.int64)
     valid = np.asarray(valid, bool)
     eids = np.nonzero(valid)[0]
@@ -282,14 +285,21 @@ def build_reduce_plan(keys: np.ndarray, valid: np.ndarray, num_keys: int,
     multi = (np.bincount(row_keys[real], minlength=num_keys).max(initial=0)
              > 1)
 
-    if multi:
+    if multi or force_stage2:
         rids = np.nonzero(real)[0]
-        # stage 2 is tiny (<= E/max_budget rows): no chunk cap needed, so
-        # every key collapses to exactly one row
-        s2_gather, s2_valid, _, buckets2, row_keys2 = _bucketize(
-            row_keys[rids], rids, num_keys, max_budget=1 << 30)
-        assert (np.bincount(row_keys2, minlength=num_keys).max(initial=0)
-                <= 1)
+        if len(rids) == 0:
+            # degenerate (no real rows): one all-pad stage-2 row
+            s2_gather = np.zeros(1, np.int64)
+            s2_valid = np.zeros(1, np.float32)
+            buckets2 = [(1, 1)]
+            row_keys2 = np.full(1, num_keys, np.int64)
+        else:
+            # stage 2 is tiny (<= E/max_budget rows): no chunk cap needed,
+            # so every key collapses to exactly one row
+            s2_gather, s2_valid, _, buckets2, row_keys2 = _bucketize(
+                row_keys[rids], rids, num_keys, max_budget=1 << 30)
+            assert (np.bincount(row_keys2, minlength=num_keys)
+                    .max(initial=0) <= 1)
         final_keys, n_final = row_keys2, len(row_keys2)
         s2_gather_j = jnp.asarray(s2_gather, jnp.int32)
         s2_valid_j = jnp.asarray(s2_valid)
@@ -723,3 +733,102 @@ def ell_sir_aggregate(fg: FastGraph, eq, ek, activation, agg_type,
     if e is None:
         e = jnp.zeros((0,), eq.dtype)  # placeholder, unused
     return f(eq, ek, e, edge_scale)
+
+
+# ======================================================================
+# Plan harmonization (for the distributed fast path)
+# ======================================================================
+
+def harmonize_reduce_plans(plans: list) -> list:
+    """Re-lay a list of :class:`ReducePlan` into a COMMON static structure
+    (same buckets1/buckets2/row counts) so their array leaves can be
+    stacked and consumed by one shard_map program. All plans must share
+    ``num_keys`` and have a stage 2 (build with ``force_stage2=True``).
+
+    Padding rows/slots are zero-valid and never selected by key2row, so
+    harmonized plans produce bit-identical reductions."""
+    assert all(p.s2_gather is not None for p in plans), \
+        "harmonize requires force_stage2 plans"
+    num_keys = plans[0].num_keys
+    assert all(p.num_keys == num_keys for p in plans)
+
+    def common_buckets(get):
+        # merge duplicate-budget entries within each plan, then take the
+        # max row count per budget across plans
+        per = []
+        for p in plans:
+            d = {}
+            for b, nr in get(p):
+                d[b] = d.get(b, 0) + nr
+            per.append(d)
+        budgets = sorted(set(b for d in per for b in d))
+        return tuple((b, max(d.get(b, 0) for d in per)) for b in budgets)
+
+    cb1 = common_buckets(lambda p: p.buckets1)
+    cb2 = common_buckets(lambda p: p.buckets2)
+
+    def relayout_stage(plan_buckets, cbuckets, arrays, pad_values):
+        """arrays: per-slot np arrays laid out by the plan's (possibly
+        duplicate-budget) bucket sequence. Returns arrays re-laid into the
+        common sorted-unique bucket structure, plus old_row -> new_row
+        map. Duplicate-budget buckets are merged in order of appearance."""
+        # collect the plan's segments per budget, in sequence order
+        seg_slots = {}   # budget -> list of (slot_start, nrows)
+        s = r = 0
+        row_spans = {}   # budget -> list of (row_start, nrows)
+        for b, nr in plan_buckets:
+            seg_slots.setdefault(b, []).append((s, nr))
+            row_spans.setdefault(b, []).append((r, nr))
+            s += b * nr
+            r += nr
+        outs = [[] for _ in arrays]
+        n_old_rows = r
+        rowmap = np.zeros(n_old_rows + 1, np.int64)
+        new_r = 0
+        for b, nrc in cbuckets:
+            nrp_total = 0
+            for (so, nrp), (ro, _) in zip(seg_slots.get(b, []),
+                                          row_spans.get(b, [])):
+                for ai, arr in enumerate(arrays):
+                    outs[ai].append(arr[so:so + b * nrp])
+                rowmap[ro:ro + nrp] = new_r + nrp_total + np.arange(nrp)
+                nrp_total += nrp
+            pad_rows = nrc - nrp_total
+            for ai, (arr, padv) in enumerate(zip(arrays, pad_values)):
+                outs[ai].append(np.full((b * pad_rows,) + arr.shape[1:],
+                                        padv, arr.dtype))
+            new_r += nrc
+        rowmap[n_old_rows] = new_r  # sentinel (appended zero row)
+        return [np.concatenate(o) for o in outs], rowmap, new_r
+
+    out = []
+    for p in plans:
+        se = np.asarray(p.slot_edge)
+        sv = np.asarray(p.slot_valid)
+        sk = np.asarray(p.slot_key)
+        rk = np.asarray(p.row_key)
+        (se2, sv2, sk2), rowmap1, n_rows1 = relayout_stage(
+            p.buckets1, cb1, [se, sv, sk], [0, 0.0, 0])
+        # row_key is row-indexed: place via the row map
+        rk2 = np.zeros(n_rows1, rk.dtype)
+        rk2[rowmap1[:len(rk)]] = rk
+
+        g2 = rowmap1[np.asarray(p.s2_gather)]
+        v2 = np.asarray(p.s2_valid)
+        (g2n, v2n), rowmap2, n_rows2 = relayout_stage(
+            p.buckets2, cb2, [g2, v2], [0, 0.0])
+        k2r = rowmap2[np.asarray(p.key2row)]
+
+        out.append(ReducePlan(
+            slot_edge=jnp.asarray(se2, jnp.int32),
+            slot_valid=jnp.asarray(sv2),
+            slot_key=jnp.asarray(sk2, jnp.int32),
+            row_key=jnp.asarray(rk2, jnp.int32),
+            s2_gather=jnp.asarray(g2n, jnp.int32),
+            s2_valid=jnp.asarray(v2n),
+            key2row=jnp.asarray(k2r, jnp.int32),
+            buckets1=cb1,
+            buckets2=cb2,
+            num_keys=num_keys,
+        ))
+    return out

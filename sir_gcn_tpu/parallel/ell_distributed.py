@@ -1,0 +1,217 @@
+"""Distributed ELL fast path: edge-partitioned full-graph SIR aggregation
+over a ``graph`` mesh axis with the scatter-free slot machinery on every
+shard (SURVEY §2c P2-P3, fast-path edition).
+
+Layout (host-built once):
+  * nodes split into equal contiguous ranges (dst-sorted edges => each
+    shard's incoming edges are one contiguous slice of the edge arrays);
+  * per shard: a dst :class:`ReducePlan` over LOCAL keys and a src plan
+    over GLOBAL keys (for the backward ek reduction);
+  * plans harmonized to one static structure so shard_map runs a single
+    program over stacked leaves.
+
+Step (inside shard_map):
+  ek_full = all_gather(ek_shard)        # the halo exchange, over ICI
+  out_shard = local scatter-free SIR aggregation (slots reference
+              global src ids into ek_full; everything else local)
+Backward (hand-written, also scatter-free):
+  g_ek partials per shard reduced by GLOBAL src -> psum_scatter back to
+  owners (the transpose of the all_gather); g_eq purely local.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..graph import GraphBatch
+from ..ops.ell import ReducePlan, build_reduce_plan, harmonize_reduce_plans
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedFastGraph:
+    """Stacked per-shard plans (leading axis = shard)."""
+
+    dst_plan: ReducePlan          # local dst keys; leaves [S, ...]
+    src_plan: ReducePlan          # global src keys; leaves [S, ...]
+    slot_srcnode: jax.Array       # [S, S1] global src id per dst slot
+    src_from_dst_slot: jax.Array  # [S, S1s] dst-slot index per src slot
+    slot_scale: jax.Array         # [S, S1] static scale (sym/mean/valid)
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+    n_local: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _stack_plans(plans):
+    leaves = [jax.tree_util.tree_leaves(p) for p in plans]
+    stacked = [jnp.stack(xs) for xs in zip(*leaves)]
+    treedef = jax.tree_util.tree_structure(plans[0])
+    return jax.tree_util.tree_unflatten(treedef, stacked)
+
+
+def build_sharded_fast_graph(
+    graph: GraphBatch,
+    n_shards: int,
+    agg_type: str = "sum",
+    max_budget: int = 256,
+) -> ShardedFastGraph:
+    """Host-side: per-shard harmonized plans for a dst-sorted GraphBatch.
+
+    ``agg_type`` folds the static per-edge scale: 'sym' degree norms,
+    'mean' 1/in-degree, 'sum' plain validity. (Dynamic DropEdge masks are
+    not supported on this path yet — see ROADMAP.)
+    """
+    assert graph.n_pad % n_shards == 0
+    n_local = graph.n_pad // n_shards
+    src = np.asarray(graph.src, np.int64)
+    dst = np.asarray(graph.dst, np.int64)
+    valid = np.asarray(graph.edge_mask, bool)
+    in_deg = np.asarray(graph.in_deg)
+    out_deg = np.asarray(graph.out_deg)
+
+    if agg_type == "sym":
+        escale = (np.power(np.maximum(out_deg, 1.0), -0.5)[src]
+                  * np.power(np.maximum(in_deg, 1.0), -0.5)[dst])
+    elif agg_type == "mean":
+        escale = 1.0 / np.maximum(in_deg, 1.0)[dst]
+    else:
+        escale = np.ones_like(dst, np.float32)
+    escale = (escale * valid).astype(np.float32)
+
+    # dst-sorted => shard s owns the contiguous edge slice with
+    # dst in [s*n_local, (s+1)*n_local)
+    bounds = np.searchsorted(dst, np.arange(n_shards + 1) * n_local)
+
+    dplans, splans = [], []
+    for s in range(n_shards):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        d_l = dst[lo:hi] - s * n_local
+        s_g = src[lo:hi]
+        v_l = valid[lo:hi]
+        dplans.append(build_reduce_plan(d_l, v_l, n_local, max_budget,
+                                        force_stage2=True))
+        splans.append(build_reduce_plan(s_g, v_l, graph.n_pad, max_budget,
+                                        force_stage2=True))
+
+    dplans = harmonize_reduce_plans(dplans)
+    splans = harmonize_reduce_plans(splans)
+
+    # re-derive per-slot arrays in the harmonized layouts
+    def regather(plans_h, per_edge):
+        out = []
+        for s, p in enumerate(plans_h):
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            se = np.asarray(p.slot_edge)
+            sv = np.asarray(p.slot_valid) > 0
+            vals = per_edge[s]
+            res = np.zeros(p.num_slots, vals.dtype)
+            if hi > lo:
+                res[sv] = vals[se[sv]]
+            out.append(res)
+        return np.stack(out)
+
+    src_per_shard = [src[int(bounds[s]):int(bounds[s + 1])]
+                     for s in range(n_shards)]
+    esc_per_shard = [escale[int(bounds[s]):int(bounds[s + 1])]
+                     for s in range(n_shards)]
+    slot_srcnode = regather(dplans, src_per_shard)
+    slot_scale = regather(dplans, esc_per_shard)
+
+    # dst-slot index per src slot, in harmonized layouts
+    d2s = []
+    for s in range(n_shards):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        dp, sp = dplans[s], splans[s]
+        e2d = np.zeros(max(hi - lo, 1), np.int64)
+        dvalid = np.asarray(dp.slot_valid) > 0
+        e2d[np.asarray(dp.slot_edge)[dvalid]] = np.nonzero(dvalid)[0]
+        se = np.asarray(sp.slot_edge)
+        svalid = np.asarray(sp.slot_valid) > 0
+        res = np.zeros(sp.num_slots, np.int64)
+        if hi > lo:
+            res[svalid] = e2d[se[svalid]]
+        d2s.append(res)
+
+    return ShardedFastGraph(
+        dst_plan=_stack_plans(dplans),
+        src_plan=_stack_plans(splans),
+        slot_srcnode=jnp.asarray(slot_srcnode, jnp.int32),
+        src_from_dst_slot=jnp.asarray(np.stack(d2s), jnp.int32),
+        slot_scale=jnp.asarray(slot_scale),
+        n_shards=n_shards,
+        n_local=n_local,
+    )
+
+
+def _unstack_plan(plan: ReducePlan) -> ReducePlan:
+    return jax.tree_util.tree_map(lambda x: x[0], plan)
+
+
+def make_sharded_sir_aggregate(
+    sfg: ShardedFastGraph,
+    activation: Callable[[jax.Array], jax.Array],
+    mesh: Mesh,
+    axis: str = "graph",
+):
+    """Build ``f(eq_sharded, ek_sharded) -> out_sharded`` (all [N_pad, H]
+    row-sharded over ``axis``) with a hand-written scatter-free backward:
+    all_gather forward, psum_scatter of per-shard src-keyed partials
+    backward."""
+    S = sfg.n_shards
+    node_spec = P(axis)
+    plan_spec = jax.tree_util.tree_map(lambda _: P(axis), sfg)
+
+    def local_fwd(eq_l, ek_l, sfg_l):
+        dplan = _unstack_plan(sfg_l.dst_plan)
+        ek_full = jax.lax.all_gather(ek_l, axis, axis=0, tiled=True)
+        z = (dplan.spread(eq_l)
+             + jnp.take(ek_full, sfg_l.slot_srcnode[0], axis=0))
+        m = activation(z) * sfg_l.slot_scale[0][:, None]
+        return dplan.reduce_slots_sum(m)
+
+    def local_bwd(g_l, eq_l, ek_l, sfg_l):
+        dplan = _unstack_plan(sfg_l.dst_plan)
+        splan = _unstack_plan(sfg_l.src_plan)
+        ek_full = jax.lax.all_gather(ek_l, axis, axis=0, tiled=True)
+        z = (dplan.spread(eq_l)
+             + jnp.take(ek_full, sfg_l.slot_srcnode[0], axis=0))
+        _, act_vjp = jax.vjp(activation, z)
+        g_m = dplan.spread(g_l) * sfg_l.slot_scale[0][:, None]
+        (g_z,) = act_vjp(g_m)
+        g_eq = dplan.reduce_slots_sum(g_z * dplan.slot_valid[:, None])
+        g_z_src = (jnp.take(g_z, sfg_l.src_from_dst_slot[0], axis=0)
+                   * splan.slot_valid[:, None])
+        g_ek_full = splan.reduce_slots_sum(g_z_src)  # [N_pad, H] partial
+        g_ek = jax.lax.psum_scatter(g_ek_full, axis, scatter_dimension=0,
+                                    tiled=True)
+        return g_eq, g_ek
+
+    fwd_sm = jax.jit(shard_map(
+        local_fwd, mesh=mesh,
+        in_specs=(node_spec, node_spec, plan_spec),
+        out_specs=node_spec, check_vma=False))
+    bwd_sm = jax.jit(shard_map(
+        local_bwd, mesh=mesh,
+        in_specs=(node_spec, node_spec, node_spec, plan_spec),
+        out_specs=(node_spec, node_spec), check_vma=False))
+
+    @jax.custom_vjp
+    def f(eq, ek):
+        return fwd_sm(eq, ek, sfg)
+
+    def f_fwd(eq, ek):
+        return fwd_sm(eq, ek, sfg), (eq, ek)
+
+    def f_bwd(res, g):
+        eq, ek = res
+        return bwd_sm(g, eq, ek, sfg)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
