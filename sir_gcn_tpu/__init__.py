@@ -8,6 +8,7 @@ multi-chip distribution (pjit/shard_map over device meshes) that the
 reference does not have.
 """
 
+from .ops.ell import FastGraph, build_fast_graph
 from .graph import (
     GraphBatch,
     add_self_loops,

@@ -1,9 +1,8 @@
 from . import message_passing, pool, segment
+from .ell import FastGraph, build_fast_graph
 from .message_passing import (
     copy_src_aggregate,
-    get_backend,
     get_edge_dtype,
-    set_backend,
     set_edge_dtype,
     sir_aggregate,
     sir_aggregate_concat,

@@ -4,7 +4,7 @@ This is the framework's core compute op — the TPU-native equivalent of the
 reference's ``graph.update_all(message_func, reduce)`` call
 (``/root/reference/models/conv.py:63,130,174,218``), expressed as one
 functional pipeline XLA can fuse, with an optional Pallas fast path
-(``sir_gcn_tpu.ops.pallas``) selected via :func:`set_backend`.
+(``sir_gcn_tpu.ops.pallas``) engaged automatically for ELL FastGraphs.
 
 Math contract (preserved exactly from ``models/conv.py``):
 
@@ -28,18 +28,7 @@ import jax.numpy as jnp
 from ..graph import GraphBatch
 from . import segment as seg
 
-_BACKEND = "xla"  # 'xla' | 'pallas'
 _EDGE_DTYPE = None  # None (f32) | jnp.bfloat16
-
-
-def set_backend(name: str) -> None:
-    global _BACKEND
-    assert name in ("xla", "pallas"), name
-    _BACKEND = name
-
-
-def get_backend() -> str:
-    return _BACKEND
 
 
 def set_edge_dtype(dtype) -> None:
