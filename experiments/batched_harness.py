@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sir_gcn_tpu.data.batching import GraphCollection
+from sir_gcn_tpu.data.prefetch import prefetch
 from sir_gcn_tpu.train import (
     EpochDriver,
     init_state,
@@ -147,8 +148,8 @@ def run_batched_workload(
         (lambda a, b: a > b)
 
     for epoch in range(1, args.epochs + 1):
-        for b in coll.loader(np.asarray(train_idx), batch_size,
-                             shuffle_rng):
+        for b in prefetch(coll.loader(np.asarray(train_idx), batch_size,
+                                      shuffle_rng)):
             key, sk = jax.random.split(key)
             state, _ = train_step(state, sk, to_device(b))
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sir_gcn_tpu.data.batching import GraphCollection
+from sir_gcn_tpu.data.prefetch import prefetch
 from sir_gcn_tpu.data.loaders import has_cache, synthetic_ogb_molecules
 from sir_gcn_tpu.train import (
     EpochDriver,
@@ -184,8 +185,8 @@ def run_single(args, seed):
     shuffle_rng = np.random.default_rng(seed + 12345)
     best = None
     for epoch in range(1, args.epochs + 1):
-        for b in coll.loader(np.asarray(tr), args.batch_size,
-                             shuffle_rng):
+        for b in prefetch(coll.loader(np.asarray(tr), args.batch_size,
+                                      shuffle_rng)):
             key, sk = jax.random.split(key)
             state, _ = train_step(state, sk, to_device(b))
         loss, auc = evaluate(tr)

@@ -1,1 +1,2 @@
+from .prefetch import prefetch
 from .synthetic import DictionaryLookupDataset, HeteroEdgeCountDataset
