@@ -135,4 +135,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The tunneled TPU can be transiently wedged by a previous process
+    # (FAILED_PRECONDITION); retry a few times before giving up.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            log(f"attempt {attempt + 1} failed ({type(e).__name__}: "
+                f"{e}); retrying in 60s ...")
+            time.sleep(60)
