@@ -12,3 +12,13 @@ from .norm import (
     get_norm,
 )
 from .utils import MLP, CentralityEncoder, VirtualNode
+from . import encoders, zoo
+from .encoders import AtomEncoder, BondEncoder
+from .zoo import (
+    GATv2Conv,
+    GINConv,
+    GINEConv,
+    GraphConv,
+    PNAConv,
+    SAGEConv,
+)
