@@ -171,3 +171,23 @@ def run_batched_workload(
                   f"test: {test_metric:.4f}")
 
     return best
+
+
+def apply_self_loops(graphs, edge_feats):
+    """``dgl.transforms.AddSelfLoop`` equivalent on (src, dst, n) triples:
+    remove existing loops, append one loop per node; new loop edges get
+    zero-filled edge features (DGL frame padding semantics)."""
+    from sir_gcn_tpu import add_self_loops, remove_self_loops
+
+    out_g, out_e = [], [] if edge_feats is not None else None
+    for i, (s, d, n) in enumerate(graphs):
+        s = np.asarray(s)
+        d = np.asarray(d)
+        keep = s != d
+        s2, d2 = add_self_loops(s[keep], d[keep], n)
+        out_g.append((s2.astype(np.int32), d2.astype(np.int32), n))
+        if edge_feats is not None:
+            ef = np.asarray(edge_feats[i])[keep]
+            pad = np.zeros((n,) + ef.shape[1:], ef.dtype)
+            out_e.append(np.concatenate([ef, pad]))
+    return out_g, out_e

@@ -23,6 +23,7 @@ from sir_gcn_tpu.train import aggregate_runs
 from sir_gcn_tpu.train.metrics import balanced_accuracy
 
 from experiments.batched_harness import run_batched_workload
+from experiments.batched_harness import apply_self_loops
 from experiments.common_models import GraphSIRModel
 
 
@@ -82,6 +83,8 @@ def run_single(args, seed):
         tr, va, te = (idx[:int(0.8 * n)], idx[int(0.8 * n):int(0.9 * n)],
                       idx[int(0.9 * n):])
 
+    if args.add_self_loop:
+        graphs, _ = apply_self_loops(graphs, None)
     coll = GraphCollection(graphs, node_feats=nfeats, node_labels=nlabels)
 
     def encoder(mdl, feats):

@@ -23,6 +23,7 @@ from sir_gcn_tpu.train import aggregate_runs
 from sir_gcn_tpu.train.metrics import accuracy
 
 from experiments.batched_harness import run_batched_workload
+from experiments.batched_harness import apply_self_loops
 from experiments.common_models import GraphSIRModel
 
 
@@ -79,6 +80,8 @@ def run_single(args, seed):
         n_val = min(n // 5, 5000)
         va, tr = idx[:n_val], idx[n_val:int(0.9 * n)]
         te = idx[int(0.9 * n):]
+    if args.add_self_loop:
+        graphs, _ = apply_self_loops(graphs, None)
     coll = GraphCollection(graphs, node_feats=nfeats, labels=labels)
 
     common = dict(

@@ -21,6 +21,7 @@ from sir_gcn_tpu.train import aggregate_runs
 from sir_gcn_tpu.train.metrics import mae
 
 from experiments.batched_harness import run_batched_workload
+from experiments.batched_harness import apply_self_loops
 from experiments.zinc.model import make_gin_model, make_sir_model
 
 
@@ -55,6 +56,10 @@ def run_single(args, seed):
         load_zinc(args, seed)
     if synthetic:
         print("[warn] no zinc cache; synthetic stand-in (not parity)")
+    if args.add_self_loop:
+        # dgl.transforms.AddSelfLoop (zinc/train.py:40); new loop edges get
+        # zero-filled edge features, matching DGL's frame padding
+        graphs, efeats = apply_self_loops(graphs, efeats)
     coll = GraphCollection(graphs, node_feats=nfeats, edge_feats=efeats,
                            labels=labels)
     input_dim = int(max(f.max() for f in nfeats)) + 1
