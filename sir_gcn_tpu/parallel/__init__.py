@@ -7,3 +7,9 @@ from .ell_distributed import (
     build_sharded_fast_graph,
     make_sharded_sir_aggregate,
 )
+from .halo import (
+    HaloFastGraph,
+    build_halo_fast_graph,
+    make_halo_counts,
+    make_halo_sir_aggregate,
+)

@@ -1,0 +1,424 @@
+"""Boundary-only halo exchange for edge-partitioned full-graph SIR
+aggregation (SURVEY §2c P3 — the graph analog of ring/context parallelism).
+
+The ``ell_distributed`` fast path all-gathers the full ``ek`` projection
+([N_pad, H]) on every shard. On real graphs each shard's incoming edges
+reference only a *boundary* subset of remote nodes, so this module
+exchanges exactly those rows with ``all_to_all`` instead:
+
+  * host side, per (receiver r, sender s) pair: the unique remote src
+    nodes u(r, s) shard r needs from shard s, padded to a common
+    ``h_max`` so one static ``all_to_all`` carries every pair;
+  * each shard's edges are split into **interior** (src owned locally)
+    and **boundary** (src remote) sets with separate scatter-free
+    :class:`~sir_gcn_tpu.ops.ell.ReducePlan`s. The interior aggregation
+    has no data dependency on the collective, so XLA overlaps it with
+    the halo exchange (the double-buffering from SURVEY §2c P3);
+  * backward returns boundary cotangents with the transposed
+    ``all_to_all``: reduce per (sender, slot) into the halo table, swap
+    blocks back, then a scatter-free reduce keyed by the sent rows. No
+    ``psum`` / ``psum_scatter`` over full node arrays anywhere.
+
+Communication per layer: O(boundary rows x H) forward, 2x backward (one
+halo recompute, one cotangent return) — vs O(N_pad x H) x3 for the
+all-gather path. Unlike that path, this one also supports **dynamic
+per-edge scales** (DropEdge masks, runtime renormalization): pass the
+same [E_pad] scale array the single-device fast path consumes
+(reference DropEdge: ``models/utils.py:96-102``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..graph import GraphBatch
+from ..ops.ell import ReducePlan, build_reduce_plan, harmonize_reduce_plans
+from .ell_distributed import _stack_plans, _unstack_plan
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad8(x: int) -> int:
+    return max(_round_up(x, 8), 8)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloFastGraph:
+    """Stacked per-shard plans for the boundary-only halo fast path.
+
+    All array leaves have a leading shard axis S. ``*_i`` plans cover
+    interior edges (src owned by the shard), ``*_b`` boundary edges.
+    The halo table holds ``n_shards * h_max`` rows: block s carries the
+    rows received from shard s.
+    """
+
+    dst_plan_i: ReducePlan        # local dst keys over interior edges
+    dst_plan_b: ReducePlan        # local dst keys over boundary edges
+    src_plan_i: ReducePlan        # local src keys over interior edges
+    halo_plan: ReducePlan         # halo-table keys over boundary edges
+    ret_plan: ReducePlan          # local node keys over sent halo rows
+    slot_src_local: jax.Array     # [S, S1i] local src per interior slot
+    slot_src_halo: jax.Array      # [S, S1b] halo idx per boundary slot
+    scale_i: jax.Array            # [S, S1i] static per-slot scale
+    scale_b: jax.Array            # [S, S1b]
+    src_from_dst_i: jax.Array     # [S, Ssi] interior dst-slot per src slot
+    src_from_dst_b: jax.Array     # [S, Shb] boundary dst-slot per halo slot
+    send_idx: jax.Array           # [S, S*Hmax] local rows to send
+    edge_slice_idx: jax.Array     # [S, Emax] global edge id per local slot
+    edge_slice_valid: jax.Array   # [S, Emax] 0/1
+    e_pad: int = dataclasses.field(metadata=dict(static=True))
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+    n_local: int = dataclasses.field(metadata=dict(static=True))
+    h_max: int = dataclasses.field(metadata=dict(static=True))
+    e_max: int = dataclasses.field(metadata=dict(static=True))
+    agg_type: str = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def halo_rows(self) -> int:
+        return self.n_shards * self.h_max
+
+
+def _slot_values(plan: ReducePlan, per_item: np.ndarray) -> np.ndarray:
+    """Host: lay a per-item array into a plan's slot order (pad slots 0)."""
+    se = np.asarray(plan.slot_edge)
+    sv = np.asarray(plan.slot_valid) > 0
+    out = np.zeros(plan.num_slots, per_item.dtype)
+    if per_item.size:
+        out[sv] = per_item[se[sv]]
+    return out
+
+
+def _dst_slot_of_edge(plan: ReducePlan, n_items: int) -> np.ndarray:
+    """Host: item id -> its slot index in ``plan`` (items appear once)."""
+    se = np.asarray(plan.slot_edge)
+    sv = np.asarray(plan.slot_valid) > 0
+    out = np.zeros(max(n_items, 1), np.int64)
+    out[se[sv]] = np.nonzero(sv)[0]
+    return out
+
+
+def build_halo_fast_graph(
+    graph: GraphBatch,
+    n_shards: int,
+    agg_type: str = "sum",
+    max_budget: int = 256,
+) -> HaloFastGraph:
+    """Host-side: interior/boundary split plans + halo exchange schedule
+    for a dst-sorted :class:`GraphBatch` over ``n_shards`` contiguous node
+    ranges. ``agg_type`` folds the *static* per-edge scale ('sym' degree
+    norms, 'mean' 1/in-degree, 'sum' validity); pass a dynamic scale at
+    call time to override (DropEdge)."""
+    assert agg_type in ("sum", "mean", "sym")
+    assert graph.n_pad % n_shards == 0
+    n_local = graph.n_pad // n_shards
+    S = n_shards
+    src = np.asarray(graph.src, np.int64)
+    dst = np.asarray(graph.dst, np.int64)
+    valid = np.asarray(graph.edge_mask, bool)
+    in_deg = np.asarray(graph.in_deg)
+    out_deg = np.asarray(graph.out_deg)
+
+    if agg_type == "sym":
+        escale = (np.power(np.maximum(out_deg, 1.0), -0.5)[src]
+                  * np.power(np.maximum(in_deg, 1.0), -0.5)[dst])
+    elif agg_type == "mean":
+        escale = 1.0 / np.maximum(in_deg, 1.0)[dst]
+    else:
+        escale = np.ones_like(dst, np.float32)
+    escale = (escale * valid).astype(np.float32)
+
+    bounds = np.searchsorted(dst, np.arange(S + 1) * n_local)
+    e_max = _pad8(int((bounds[1:] - bounds[:-1]).max(initial=1)))
+
+    # ---- pass 1: per-pair unique remote src rows -> h_max ----------------
+    uniq = {}   # (receiver, sender) -> unique global src ids
+    per_shard = []
+    for r in range(S):
+        lo, hi = int(bounds[r]), int(bounds[r + 1])
+        src_g = src[lo:hi]
+        dst_l = dst[lo:hi] - r * n_local
+        v_l = valid[lo:hi]
+        owner = src_g // n_local
+        interior = v_l & (owner == r)
+        boundary = v_l & (owner != r)
+        for s in range(S):
+            if s == r:
+                continue
+            u = np.unique(src_g[boundary & (owner == s)])
+            if u.size:
+                uniq[(r, s)] = u
+        per_shard.append((lo, hi, src_g, dst_l, v_l, interior, boundary,
+                          owner))
+    h_max = _pad8(max((u.size for u in uniq.values()), default=1))
+
+    # ---- pass 2: per-shard plans + slot arrays ---------------------------
+    dplans_i, dplans_b, splans_i, hplans, rplans = [], [], [], [], []
+    ssl, ssh, sc_i, sc_b, send_all = [], [], [], [], []
+    for r in range(S):
+        lo, hi, src_g, dst_l, v_l, interior, boundary, owner = per_shard[r]
+        n_e = hi - lo
+        esc_l = escale[lo:hi]
+
+        # halo key per boundary edge: sender block * h_max + position
+        halo_key = np.zeros(max(n_e, 1), np.int64)
+        for s in range(S):
+            if (r, s) not in uniq:
+                continue
+            sel = boundary & (owner == s)
+            pos = np.searchsorted(uniq[(r, s)], src_g[sel])
+            halo_key[np.nonzero(sel)[0]] = s * h_max + pos
+
+        dpi = build_reduce_plan(dst_l, interior, n_local, max_budget,
+                                force_stage2=True)
+        dpb = build_reduce_plan(dst_l, boundary, n_local, max_budget,
+                                force_stage2=True)
+        spi = build_reduce_plan(src_g - r * n_local, interior, n_local,
+                                max_budget, force_stage2=True)
+        hp = build_reduce_plan(halo_key, boundary, S * h_max, max_budget,
+                               force_stage2=True)
+        dplans_i.append(dpi)
+        dplans_b.append(dpb)
+        splans_i.append(spi)
+        hplans.append(hp)
+
+        # send schedule: block d = rows this shard sends to receiver d
+        sidx = np.zeros(S * h_max, np.int64)
+        skey = np.full(S * h_max, -1, np.int64)
+        for d in range(S):
+            if (d, r) not in uniq:
+                continue
+            u = uniq[(d, r)]
+            sidx[d * h_max: d * h_max + u.size] = u - r * n_local
+            skey[d * h_max: d * h_max + u.size] = u - r * n_local
+        send_all.append(sidx)
+        rplans.append(build_reduce_plan(
+            np.maximum(skey, 0), skey >= 0, n_local, max_budget,
+            force_stage2=True))
+
+    dplans_i = harmonize_reduce_plans(dplans_i)
+    dplans_b = harmonize_reduce_plans(dplans_b)
+    splans_i = harmonize_reduce_plans(splans_i)
+    hplans = harmonize_reduce_plans(hplans)
+    rplans = harmonize_reduce_plans(rplans)
+
+    sfd_i, sfd_b = [], []
+    eidx, evalid = [], []
+    for r in range(S):
+        lo, hi, src_g, dst_l, v_l, interior, boundary, owner = per_shard[r]
+        n_e = hi - lo
+        esc_l = escale[lo:hi]
+        dpi, dpb = dplans_i[r], dplans_b[r]
+        spi, hp = splans_i[r], hplans[r]
+
+        ssl.append(_slot_values(dpi, src_g - r * n_local))
+        sc_i.append(_slot_values(dpi, esc_l))
+        sc_b.append(_slot_values(dpb, esc_l))
+
+        halo_key = np.zeros(max(n_e, 1), np.int64)
+        for s in range(S):
+            if (r, s) not in uniq:
+                continue
+            sel = boundary & (owner == s)
+            pos = np.searchsorted(uniq[(r, s)], src_g[sel])
+            halo_key[np.nonzero(sel)[0]] = s * h_max + pos
+        ssh.append(_slot_values(dpb, halo_key))
+
+        e2d_i = _dst_slot_of_edge(dpi, n_e)
+        e2d_b = _dst_slot_of_edge(dpb, n_e)
+        sfd_i.append(_slot_values(spi, e2d_i))
+        sfd_b.append(_slot_values(hp, e2d_b))
+
+        idx = np.minimum(lo + np.arange(e_max), graph.e_pad - 1)
+        eidx.append(idx)
+        evalid.append((np.arange(e_max) < n_e).astype(np.float32))
+
+    return HaloFastGraph(
+        dst_plan_i=_stack_plans(dplans_i),
+        dst_plan_b=_stack_plans(dplans_b),
+        src_plan_i=_stack_plans(splans_i),
+        halo_plan=_stack_plans(hplans),
+        ret_plan=_stack_plans(rplans),
+        slot_src_local=jnp.asarray(np.stack(ssl), jnp.int32),
+        slot_src_halo=jnp.asarray(np.stack(ssh), jnp.int32),
+        scale_i=jnp.asarray(np.stack(sc_i)),
+        scale_b=jnp.asarray(np.stack(sc_b)),
+        src_from_dst_i=jnp.asarray(np.stack(sfd_i), jnp.int32),
+        src_from_dst_b=jnp.asarray(np.stack(sfd_b), jnp.int32),
+        send_idx=jnp.asarray(np.stack(send_all), jnp.int32),
+        edge_slice_idx=jnp.asarray(np.stack(eidx), jnp.int32),
+        edge_slice_valid=jnp.asarray(np.stack(evalid)),
+        e_pad=graph.e_pad,
+        n_shards=S,
+        n_local=n_local,
+        h_max=h_max,
+        e_max=e_max,
+        agg_type=agg_type,
+    )
+
+
+def make_halo_sir_aggregate(
+    hfg: HaloFastGraph,
+    activation: Callable[[jax.Array], jax.Array],
+    mesh: Mesh,
+    axis: str = "graph",
+    dynamic_scale: bool = False,
+):
+    """Build ``f(eq, ek[, edge_scale]) -> out`` over the halo fast path.
+
+    eq/ek/out are [N_pad, H] row-sharded over ``axis``. With
+    ``dynamic_scale=True`` the third argument is the same [E_pad]
+    per-edge scale the single-device fast path takes (sym norms x
+    DropEdge mask ...); it REPLACES the static folded scale, and for
+    ``agg_type='mean'`` the caller divides by dynamic counts (see
+    :func:`halo_counts`). Differentiable wrt eq/ek; scale is
+    non-differentiable (degree/mask-derived in every caller).
+    """
+    S, Hm = hfg.n_shards, hfg.h_max
+    node_spec = P(axis)
+    plan_spec = jax.tree_util.tree_map(lambda _: P(axis), hfg)
+
+    def slot_scales(scale_l, hfg_l, dpi, dpb):
+        if dynamic_scale:
+            s_i = dpi.gather_edges(scale_l) * dpi.slot_valid
+            s_b = dpb.gather_edges(scale_l) * dpb.slot_valid
+        else:
+            s_i, s_b = hfg_l.scale_i[0], hfg_l.scale_b[0]
+        return s_i, s_b
+
+    def exchange(ek_l, hfg_l):
+        # [S*Hm, H], block d = rows for receiver d; tiled all_to_all swaps
+        # blocks so block j on the receiver = rows sent by shard j
+        send = jnp.take(ek_l, hfg_l.send_idx[0], axis=0)
+        return jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                                  tiled=True)
+
+    def local_fwd(eq_l, ek_l, scale_l, hfg_l):
+        dpi = _unstack_plan(hfg_l.dst_plan_i)
+        dpb = _unstack_plan(hfg_l.dst_plan_b)
+        s_i, s_b = slot_scales(scale_l, hfg_l, dpi, dpb)
+        halo = exchange(ek_l, hfg_l)
+        # interior term has no dependency on the collective -> overlaps
+        z_i = dpi.spread(eq_l) + jnp.take(ek_l, hfg_l.slot_src_local[0],
+                                          axis=0)
+        out = dpi.reduce_slots_sum(activation(z_i) * s_i[:, None])
+        z_b = dpb.spread(eq_l) + jnp.take(halo, hfg_l.slot_src_halo[0],
+                                          axis=0)
+        return out + dpb.reduce_slots_sum(activation(z_b) * s_b[:, None])
+
+    def local_bwd(g_l, eq_l, ek_l, scale_l, hfg_l):
+        dpi = _unstack_plan(hfg_l.dst_plan_i)
+        dpb = _unstack_plan(hfg_l.dst_plan_b)
+        spi = _unstack_plan(hfg_l.src_plan_i)
+        hp = _unstack_plan(hfg_l.halo_plan)
+        rp = _unstack_plan(hfg_l.ret_plan)
+        s_i, s_b = slot_scales(scale_l, hfg_l, dpi, dpb)
+        halo = exchange(ek_l, hfg_l)
+
+        z_i = dpi.spread(eq_l) + jnp.take(ek_l, hfg_l.slot_src_local[0],
+                                          axis=0)
+        z_b = dpb.spread(eq_l) + jnp.take(halo, hfg_l.slot_src_halo[0],
+                                          axis=0)
+        _, vjp_i = jax.vjp(activation, z_i)
+        _, vjp_b = jax.vjp(activation, z_b)
+        (g_z_i,) = vjp_i(dpi.spread(g_l) * s_i[:, None])
+        (g_z_b,) = vjp_b(dpb.spread(g_l) * s_b[:, None])
+
+        g_eq = (dpi.reduce_slots_sum(g_z_i * dpi.slot_valid[:, None])
+                + dpb.reduce_slots_sum(g_z_b * dpb.slot_valid[:, None]))
+
+        g_ek = spi.reduce_slots_sum(
+            jnp.take(g_z_i, hfg_l.src_from_dst_i[0], axis=0)
+            * spi.slot_valid[:, None])
+        # boundary cotangents: reduce into the halo table, send blocks
+        # back to their senders, reduce by sent row
+        g_halo = hp.reduce_slots_sum(
+            jnp.take(g_z_b, hfg_l.src_from_dst_b[0], axis=0)
+            * hp.slot_valid[:, None])
+        ret = jax.lax.all_to_all(g_halo, axis, split_axis=0,
+                                 concat_axis=0, tiled=True)
+        g_ek = g_ek + rp.reduce_slots_sum(
+            rp.gather_edges(ret) * rp.slot_valid[:, None])
+        return g_eq, g_ek
+
+    fwd_sm = jax.jit(shard_map(
+        local_fwd, mesh=mesh,
+        in_specs=(node_spec, node_spec, node_spec, plan_spec),
+        out_specs=node_spec, check_vma=False))
+    bwd_sm = jax.jit(shard_map(
+        local_bwd, mesh=mesh,
+        in_specs=(node_spec, node_spec, node_spec, node_spec, plan_spec),
+        out_specs=(node_spec, node_spec), check_vma=False))
+
+    def to_shard_scale(edge_scale):
+        """[E_pad] global per-edge scale -> [S*Emax] shard-sliced rows."""
+        s = (jnp.take(edge_scale, hfg.edge_slice_idx.reshape(-1))
+             .reshape(S, hfg.e_max) * hfg.edge_slice_valid)
+        return s.reshape(S * hfg.e_max)
+
+    if dynamic_scale:
+        @jax.custom_vjp
+        def f(eq, ek, edge_scale):
+            return fwd_sm(eq, ek, to_shard_scale(edge_scale), hfg)
+
+        def f_fwd(eq, ek, edge_scale):
+            s = to_shard_scale(edge_scale)
+            return fwd_sm(eq, ek, s, hfg), (eq, ek, s)
+
+        def f_bwd(res, g):
+            eq, ek, s = res
+            g_eq, g_ek = bwd_sm(g, eq, ek, s, hfg)
+            return g_eq, g_ek, jnp.zeros((hfg.e_pad,), s.dtype)
+    else:
+        dummy = jnp.zeros((S * hfg.e_max,), jnp.float32)
+
+        @jax.custom_vjp
+        def f(eq, ek):
+            return fwd_sm(eq, ek, dummy, hfg)
+
+        def f_fwd(eq, ek):
+            return fwd_sm(eq, ek, dummy, hfg), (eq, ek)
+
+        def f_bwd(res, g):
+            eq, ek = res
+            return bwd_sm(g, eq, ek, dummy, hfg)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def make_halo_counts(hfg: HaloFastGraph, mesh: Mesh, axis: str = "graph"):
+    """Per-dst dynamic edge counts for mean aggregation with a dynamic
+    scale: ``counts(edge_scale)[u] = sum of scale over u's in-edges``
+    (purely local — no communication)."""
+    node_spec = P(axis)
+    plan_spec = jax.tree_util.tree_map(lambda _: P(axis), hfg)
+    S = hfg.n_shards
+
+    def local(scale_l, hfg_l):
+        dpi = _unstack_plan(hfg_l.dst_plan_i)
+        dpb = _unstack_plan(hfg_l.dst_plan_b)
+        s_i = dpi.gather_edges(scale_l) * dpi.slot_valid
+        s_b = dpb.gather_edges(scale_l) * dpb.slot_valid
+        return (dpi.reduce_slots_sum(s_i[:, None])
+                + dpb.reduce_slots_sum(s_b[:, None]))[:, 0]
+
+    sm = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(node_spec, plan_spec),
+                           out_specs=node_spec, check_vma=False))
+
+    def counts(edge_scale):
+        s = (jnp.take(edge_scale, hfg.edge_slice_idx.reshape(-1))
+             .reshape(S, hfg.e_max) * hfg.edge_slice_valid)
+        return sm(s.reshape(S * hfg.e_max), hfg)
+
+    return counts
