@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -28,7 +29,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def community_graph(rng, n, e, comm=85, p_intra=0.8):
+    """Citation-network-like topology: most edges inside ~comm-node
+    communities (real arxiv has strong locality; the default random graph
+    is the worst case for gather locality)."""
+    dst = rng.integers(0, n, e)
+    intra = rng.random(e) < p_intra
+    base = (dst // comm) * comm
+    src = np.where(intra,
+                   np.minimum(base + rng.integers(0, comm, e), n - 1),
+                   rng.integers(0, n, e))
+    return src, dst
+
+
+def main(args):
     import jax
 
     # hardware RNG for dropout masks (~5 ms/step cheaper than threefry at
@@ -48,11 +62,24 @@ def main():
     FEAT_DIM = 128
 
     rng = np.random.default_rng(0)
-    log(f"building arxiv-sized graph: {N} nodes, {E_RAW} raw edges ...")
-    src = rng.integers(0, N, E_RAW)
-    dst = rng.integers(0, N, E_RAW)
+    log(f"building arxiv-sized graph: {N} nodes, {E_RAW} raw edges "
+        f"({args.graph}) ...")
+    if args.graph == "community":
+        src, dst = community_graph(rng, N, E_RAW)
+    else:
+        src = rng.integers(0, N, E_RAW)
+        dst = rng.integers(0, N, E_RAW)
     src, dst = to_bidirected(src, dst)
     src, dst = add_self_loops(src, dst, N)
+    if args.reorder:
+        from sir_gcn_tpu import bandwidth, permute_nodes, rcm_order
+
+        t0 = time.time()
+        perm = rcm_order(src, dst, N)
+        b0 = bandwidth(src, dst)
+        src, dst, _ = permute_nodes(src, dst, perm)
+        log(f"RCM reorder: {time.time() - t0:.1f}s, mean |src-dst| "
+            f"{b0:.0f} -> {bandwidth(src, dst):.0f}")
     graph = build_graph(src, dst, N, pad_multiple=1024)
     E = int(graph.num_edges)
     log(f"padded: n_pad={graph.n_pad} e_pad={graph.e_pad} edges={E}")
@@ -140,11 +167,16 @@ def main():
 
 
 if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--graph", choices=["random", "community"],
+                   default="random")
+    p.add_argument("--reorder", action="store_true")
+    cli = p.parse_args()
     # The tunneled TPU can be transiently wedged by a previous process
     # (FAILED_PRECONDITION); retry a few times before giving up.
     for attempt in range(3):
         try:
-            main()
+            main(cli)
             break
         except Exception as e:  # noqa: BLE001
             if attempt == 2:

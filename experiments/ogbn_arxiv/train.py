@@ -25,6 +25,8 @@ import numpy as np
 from sir_gcn_tpu import (
     add_self_loops,
     build_graph,
+    permute_nodes,
+    rcm_order,
     remove_self_loops,
     reverse_edges,
     to_bidirected,
@@ -196,8 +198,26 @@ def make_harness(model, graph, args, num_classes, tx):
     return train_step, eval_step
 
 
+def reorder_data(data):
+    """RCM-relabel the nodes for src-gather locality (graph.py:rcm_order).
+    Training is equivariant to the relabeling; saved predictions are
+    mapped back to the original order (see run_single), so KD / C&S
+    pipelines are unaffected. Returns (perm, relabel)."""
+    perm = rcm_order(data.src, data.dst, data.feat.shape[0])
+    data.src, data.dst, relabel = permute_nodes(data.src, data.dst, perm)
+    data.feat = data.feat[perm]
+    data.labels = data.labels[perm]
+    data.train_idx = relabel[data.train_idx]
+    data.val_idx = relabel[data.val_idx]
+    data.test_idx = relabel[data.test_idx]
+    return perm, relabel
+
+
 def run_single(args, seed: int, data, iter_idx: int):
     key = set_seed(seed)
+    perm = relabel = None
+    if args.reorder:
+        perm, relabel = reorder_data(data)
     graph = build_arxiv_graph(data, args)
     n_pad = graph.n_pad
     num_classes = data.num_classes
@@ -240,8 +260,11 @@ def run_single(args, seed: int, data, iter_idx: int):
 
     kd_teacher = jnp.zeros((n_pad, num_classes), jnp.float32)
     if args.kd_mode == "student":
-        kd_teacher = jnp.asarray(
-            np.load(f"./output/teacher_{iter_idx}.npy"))
+        teacher = np.load(f"./output/teacher_{iter_idx}.npy")
+        if perm is not None:  # teacher saved in original node order
+            teacher = np.concatenate(
+                [teacher[perm], teacher[len(perm):]], 0)
+        kd_teacher = jnp.asarray(teacher)
 
     feats_j = jnp.asarray(feats)
     labels_j = jnp.asarray(labels)
@@ -299,6 +322,8 @@ def run_single(args, seed: int, data, iter_idx: int):
     if args.save_pred:
         os.makedirs("./output", exist_ok=True)
         probs = np.asarray(jax.nn.softmax(jnp.asarray(result["logits"])))
+        if relabel is not None:  # save in original node order
+            probs = np.concatenate([probs[relabel], probs[len(relabel):]], 0)
         np.save(f"./output/{args.kd_mode}_{iter_idx}.npy", probs)
 
     return result
@@ -370,6 +395,9 @@ def get_args(argv=None):
     p.add_argument("--save-pred", action="store_true")
     p.add_argument("--no-fast-path", action="store_true",
                    help="disable the ELL fast path (debugging)")
+    p.add_argument("--reorder", action="store_true",
+                   help="RCM-relabel nodes for src-gather locality "
+                        "(TPU perf; training is equivariant)")
     # synthetic fallback controls (no reference analog; zero-egress env)
     p.add_argument("--synthetic-nodes", type=int, default=4096)
     p.add_argument("--synthetic-edges", type=int, default=32768)

@@ -12,9 +12,12 @@ from .ops.ell import FastGraph, build_fast_graph
 from .graph import (
     GraphBatch,
     add_self_loops,
+    bandwidth,
     batch_graphs,
     build_graph,
     drop_edge_mask,
+    permute_nodes,
+    rcm_order,
     remove_self_loops,
     reverse_edges,
     to_bidirected,

@@ -98,3 +98,28 @@ def test_arxiv_correct_and_smooth(tmp_path, monkeypatch):
                        "--use-sym", "--synthetic-nodes", "512",
                        "--synthetic-edges", "4096"])
     assert results and results[0]["test_acc"] >= results[0]["orig_test_acc"]
+
+
+def test_arxiv_reorder_equivalence(tmp_path, monkeypatch):
+    """--reorder (RCM relabeling) is equivariant: with dropout off, the
+    saved predictions (mapped back to original node order) match the
+    unreordered run up to reduction-order float noise."""
+    import os
+
+    import numpy as np
+
+    from experiments.ogbn_arxiv.train import main as arxiv_main
+
+    base = ["--nhidden", "16", "--nlayers", "1", "--agg-type", "sym",
+            "--add-reverse-edge", "--epochs", "3", "--nruns", "1",
+            "--log-every", "100", "--synthetic-nodes", "512",
+            "--synthetic-edges", "4096", "--save-pred"]
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("a"), os.makedirs("b")
+    monkeypatch.chdir(tmp_path / "a")
+    arxiv_main(base)
+    monkeypatch.chdir(tmp_path / "b")
+    arxiv_main(base + ["--reorder"])
+    pa = np.load(tmp_path / "a" / "output" / "teacher_0.npy")
+    pb = np.load(tmp_path / "b" / "output" / "teacher_0.npy")
+    np.testing.assert_allclose(pa, pb, atol=5e-3)
