@@ -89,6 +89,10 @@ def main(args):
     graph = build_fast_graph(graph)
     # bf16 edge pipeline (f32 accumulation) — the framework's AMP analog
     set_edge_dtype(jnp.bfloat16)
+    if args.remat:
+        from sir_gcn_tpu.ops import set_remat
+
+        set_remat(True)
 
     model = SIRModel(hidden_dim=HIDDEN, output_dim=NUM_CLASSES,
                      num_layers=LAYERS, dropout=0.2, norm="bn",
@@ -171,6 +175,7 @@ if __name__ == "__main__":
     p.add_argument("--graph", choices=["random", "community"],
                    default="random")
     p.add_argument("--reorder", action="store_true")
+    p.add_argument("--remat", action="store_true")
     cli = p.parse_args()
     # The tunneled TPU can be transiently wedged by a previous process
     # (FAILED_PRECONDITION); retry a few times before giving up.

@@ -398,6 +398,10 @@ def get_args(argv=None):
     p.add_argument("--reorder", action="store_true",
                    help="RCM-relabel nodes for src-gather locality "
                         "(TPU perf; training is equivariant)")
+    p.add_argument("--remat", action="store_true",
+                   help="activation checkpointing in the fast path "
+                        "(recompute slot gathers in backward; ~ExH less "
+                        "live memory per layer, numerics identical)")
     # synthetic fallback controls (no reference analog; zero-egress env)
     p.add_argument("--synthetic-nodes", type=int, default=4096)
     p.add_argument("--synthetic-edges", type=int, default=32768)
@@ -408,6 +412,10 @@ def main(argv=None):
     args = get_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.remat:
+        from sir_gcn_tpu.ops import set_remat
+
+        set_remat(True)
 
     val_accs, test_accs = [], []
     for i in range(args.nruns):

@@ -20,5 +20,6 @@ from .zoo import (
     GINEConv,
     GraphConv,
     PNAConv,
+    pna_delta,
     SAGEConv,
 )

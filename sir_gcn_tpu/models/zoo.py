@@ -121,16 +121,28 @@ class GINEConv(nn.Module):
 
 
 class PNAConv(nn.Module):
-    """Principal Neighbourhood Aggregation, DGL ``PNAConv`` on the settings
-    the reference uses (single tower, aggregators ['sum','max','std'],
-    scalers ['identity'], residual=False —
-    ``synthetic-datasets/dictionary-lookup/model.py:155``):
+    """Principal Neighbourhood Aggregation, DGL ``PNAConv``.
 
-        m_vu = M([h_u || h_v]);  h_u' = U([h_u || agg_1 || ... || agg_k])
+    The reference uses single tower, aggregators ['sum','max','std'],
+    scalers ['identity'], residual=False
+    (``synthetic-datasets/dictionary-lookup/model.py:155``); the full DGL
+    surface — multiple towers with a mixing layer, min/mean/var
+    aggregators, amplification/attenuation degree scalers with the
+    train-set ``delta`` — is supported beyond that.
+
+    Per tower t over the feature split h^t:
+        m_vu = M_t([h_u^t || h_v^t])
+        h_u' = U_t([h_u^t || scaled aggs of m])
+    then tower outputs concatenate through a mixing linear (towers > 1).
+    Scalers (Corso et al.): amplification log(d+1)/delta,
+    attenuation delta/log(d+1), d = in-degree (clamped >= 1).
     """
 
     features: int
     aggregators: tuple = ("sum", "max", "std")
+    scalers: tuple = ("identity",)
+    num_towers: int = 1
+    delta: float = 1.0
 
     @nn.compact
     def __call__(self, graph: GraphBatch, feat: jax.Array,
@@ -138,36 +150,78 @@ class PNAConv(nn.Module):
         valid = (graph.edge_mask if edge_mask is None
                  else jnp.logical_and(graph.edge_mask, edge_mask))
         din = feat.shape[-1]
-        m = Linear(din, name="M")(jnp.concatenate(
-            [jnp.take(feat, graph.dst, axis=0),
-             jnp.take(feat, graph.src, axis=0)], -1))
-        vmask = valid[:, None]
-        m0 = jnp.where(vmask, m, 0.0)
+        T = self.num_towers
+        assert din % T == 0 and self.features % T == 0, (
+            "in/out feature dims must divide num_towers")
         n = graph.n_pad
         counts = jnp.maximum(jax.ops.segment_sum(
-            valid.astype(m.dtype), graph.dst, n,
+            valid.astype(feat.dtype), graph.dst, n,
             indices_are_sorted=True), 1.0)[:, None]
+        logd = jnp.log(jnp.maximum(graph.in_deg, 1.0) + 1.0)[:, None]
 
-        parts = [feat]
-        s = jax.ops.segment_sum(m0, graph.dst, n, indices_are_sorted=True)
-        for agg in self.aggregators:
-            if agg == "sum":
-                parts.append(s)
-            elif agg == "mean":
-                parts.append(s / counts)
-            elif agg == "max":
-                parts.append(segment.segment_max(m, graph.dst, n, valid))
-            elif agg == "std":
-                mean = s / counts
-                sq = jax.ops.segment_sum(jnp.where(vmask, m * m, 0.0),
-                                         graph.dst, n,
-                                         indices_are_sorted=True) / counts
-                parts.append(jnp.sqrt(
-                    jax.nn.relu(sq - mean * mean) + 1e-10))
-            else:
-                raise NotImplementedError(agg)
-        return Linear(self.features, name="U")(
-            jnp.concatenate(parts, -1))
+        h_dst = jnp.take(feat, graph.dst, axis=0)
+        h_src = jnp.take(feat, graph.src, axis=0)
+        vmask = valid[:, None]
+
+        outs = []
+        for t in range(T):
+            sl = slice(t * din // T, (t + 1) * din // T)
+            m = Linear(din // T, name=f"M_{t}" if T > 1 else "M")(
+                jnp.concatenate([h_dst[:, sl], h_src[:, sl]], -1))
+            m0 = jnp.where(vmask, m, 0.0)
+            s = jax.ops.segment_sum(m0, graph.dst, n,
+                                    indices_are_sorted=True)
+
+            aggs = []
+            for agg in self.aggregators:
+                if agg == "sum":
+                    aggs.append(s)
+                elif agg == "mean":
+                    aggs.append(s / counts)
+                elif agg == "max":
+                    aggs.append(segment.segment_max(m, graph.dst, n, valid))
+                elif agg == "min":
+                    aggs.append(-segment.segment_max(-m, graph.dst, n,
+                                                     valid))
+                elif agg in ("std", "var"):
+                    mean = s / counts
+                    sq = jax.ops.segment_sum(
+                        jnp.where(vmask, m * m, 0.0), graph.dst, n,
+                        indices_are_sorted=True) / counts
+                    v = jax.nn.relu(sq - mean * mean)
+                    aggs.append(v if agg == "var"
+                                else jnp.sqrt(v + 1e-10))
+                else:
+                    raise NotImplementedError(agg)
+
+            parts = [feat[:, sl]]
+            for a in aggs:
+                for sc in self.scalers:
+                    if sc == "identity":
+                        parts.append(a)
+                    elif sc == "amplification":
+                        parts.append(a * (logd / self.delta))
+                    elif sc == "attenuation":
+                        parts.append(a * (self.delta / logd))
+                    else:
+                        raise NotImplementedError(sc)
+            outs.append(Linear(self.features // T,
+                               name=f"U_{t}" if T > 1 else "U")(
+                jnp.concatenate(parts, -1)))
+
+        out = outs[0] if T == 1 else jnp.concatenate(outs, -1)
+        if T > 1:
+            out = Linear(self.features, name="mixing")(out)
+        return out
+
+
+def pna_delta(graphs_in_deg) -> float:
+    """Train-set normalization for PNA degree scalers:
+    delta = mean over nodes of log(d + 1) (Corso et al. eq. 5)."""
+    import numpy as np
+
+    d = np.concatenate([np.asarray(x).ravel() for x in graphs_in_deg])
+    return float(np.mean(np.log(np.maximum(d, 1.0) + 1.0)))
 
 
 class SAGEConv(nn.Module):

@@ -3,7 +3,9 @@ from .ell import FastGraph, build_fast_graph
 from .message_passing import (
     copy_src_aggregate,
     get_edge_dtype,
+    get_remat,
     set_edge_dtype,
+    set_remat,
     sir_aggregate,
     sir_aggregate_concat,
 )

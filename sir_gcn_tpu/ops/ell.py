@@ -468,6 +468,7 @@ def make_ell_sir_aggregate_pallas(
     with_edge: bool = False,
     interpret: bool = False,
     edge_dtype=None,
+    remat: bool = False,
 ):
     """Pallas-kernel variant of :func:`make_ell_sir_aggregate`: the
     broadcast+activation+reduce stages run as fused streaming kernels per
@@ -476,7 +477,13 @@ def make_ell_sir_aggregate_pallas(
     variant exactly (f32, same order); ``edge_dtype=jnp.bfloat16`` halves
     the edge-pipeline HBM traffic (gathered keys and backward slot
     cotangents carried in bf16, all accumulation still f32) — the
-    framework's AMP analog for the message-passing hot path."""
+    framework's AMP analog for the message-passing hot path.
+
+    ``remat=True`` is the activation-checkpointing option (SURVEY §7
+    recompute-vs-store): residuals shrink from slot-sized [S1, H] tensors
+    (~E x H) to the node-sized inputs, and the slot gather is recomputed
+    in backward — trades one extra gather per layer for O(E x H) live
+    memory, numerics identical."""
     assert agg_type in ("sum", "mean", "sym")
     from .pallas import (
         bucket_bcast_act_reduce,
@@ -520,10 +527,15 @@ def make_ell_sir_aggregate_pallas(
     def f_fwd(eq, ek, e, edge_scale):
         ekg, eq_rows, s = slot_inputs(eq, ek, e, edge_scale)
         out = plan.finalize_rows_sum(fwd_rows(ekg, eq_rows, s))
+        if remat:
+            return out, (eq, ek, e, edge_scale)
         return out, (ekg, eq_rows, s)
 
     def f_bwd(res, g):
-        ekg, eq_rows, s = res
+        if remat:
+            ekg, eq_rows, s = slot_inputs(*res)
+        else:
+            ekg, eq_rows, s = res
         g_rows1 = jnp.take(g, plan.row_key, axis=0)
         g_z_parts, g_eqr_parts = [], []
         for b, nr, so, ro in offs_d:
@@ -567,6 +579,7 @@ def make_ell_sir_aggregate(
     activation: Callable[[jax.Array], jax.Array],
     agg_type: str,
     with_edge: bool = False,
+    remat: bool = False,
 ):
     """Build the fast-path linear-agg SIR aggregation for a fixed graph:
 
@@ -602,10 +615,17 @@ def make_ell_sir_aggregate(
 
     def f_fwd(eq, ek, e, edge_scale):
         out, (z, s) = fwd_compute(eq, ek, e, edge_scale)
+        if remat:
+            return out, (eq, ek, e, edge_scale)
         return out, (z, s)
 
     def f_bwd(res, g):
-        z, s = res
+        if remat:
+            eq, ek, e, edge_scale = res
+            z = slot_z(eq, ek, e)
+            s = plan.gather_edges(edge_scale) * plan.slot_valid
+        else:
+            z, s = res
         # dL/dm_slot = spread(g); dL/dz = that * scale * act'(z)
         g_m = plan.spread(g) * s[:, None]
         _, act_vjp = jax.vjp(activation, z)
@@ -720,14 +740,16 @@ def ell_sir_aggregate(fg: FastGraph, eq, ek, activation, agg_type,
     if use_pallas is None:
         from .pallas import pallas_available
         use_pallas = pallas_available()
+    from .message_passing import get_edge_dtype, get_remat
+
     if use_pallas:
-        from .message_passing import get_edge_dtype
         f = make_ell_sir_aggregate_pallas(
             fg, activation, agg_type, with_edge=e is not None,
-            edge_dtype=get_edge_dtype())
+            edge_dtype=get_edge_dtype(), remat=get_remat())
     else:
         f = make_ell_sir_aggregate(fg, activation, agg_type,
-                                   with_edge=e is not None)
+                                   with_edge=e is not None,
+                                   remat=get_remat())
     if edge_scale is None:
         edge_scale = fg.edge_mask.astype(eq.dtype)
     if e is None:

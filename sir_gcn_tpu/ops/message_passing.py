@@ -43,6 +43,23 @@ def get_edge_dtype():
     return _EDGE_DTYPE
 
 
+_REMAT = False
+
+
+def set_remat(enabled: bool) -> None:
+    """Activation checkpointing for the fast path (SURVEY §7
+    recompute-vs-store): save node-sized inputs instead of slot-sized
+    [~E, H] tensors and recompute the slot gather in backward. Numerics
+    identical; ~E x H x bytes less live memory per conv layer at the cost
+    of one extra gather."""
+    global _REMAT
+    _REMAT = bool(enabled)
+
+
+def get_remat() -> bool:
+    return _REMAT
+
+
 def _edge_scale(graph: GraphBatch, agg_type: str) -> Optional[jax.Array]:
     """Per-edge symmetric-norm scale s_vu, or None for non-sym aggregators."""
     if agg_type != "sym":

@@ -192,3 +192,45 @@ def test_sirconv_on_fast_graph(rng):
     got = conv.apply(params, fg, feat)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_remat_grads_identical(rng, use_pallas):
+    """Activation checkpointing (save node inputs, recompute slots in
+    backward) matches the store-residuals path bitwise in fwd and grads."""
+    import jax
+
+    from sir_gcn_tpu.ops.ell import (
+        make_ell_sir_aggregate,
+        make_ell_sir_aggregate_pallas,
+    )
+
+    n, e, h = 64, 400, 8
+    g = build_graph(rng.integers(0, n, e), rng.integers(0, n, e), n,
+                    n_pad=64, e_pad=512)
+    fg = build_fast_graph(g)
+    eq = jnp.asarray(rng.normal(size=(64, h)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(64, h)), jnp.float32)
+    ev = jnp.asarray(rng.normal(size=(512, h)), jnp.float32)
+    scale = fg.edge_mask.astype(jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, h)), jnp.float32)
+
+    def make(remat):
+        if use_pallas:
+            return make_ell_sir_aggregate_pallas(
+                fg, jnp.tanh, "sum", with_edge=True, interpret=True,
+                remat=remat)
+        return make_ell_sir_aggregate(fg, jnp.tanh, "sum",
+                                      with_edge=True, remat=remat)
+
+    def loss(f):
+        return lambda eq, ek, ev: jnp.sum(f(eq, ek, ev, scale) * w)
+
+    f0, f1 = make(False), make(True)
+    out0 = f0(eq, ek, ev, scale)
+    out1 = f1(eq, ek, ev, scale)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+    g0 = jax.grad(loss(f0), argnums=(0, 1, 2))(eq, ek, ev)
+    g1 = jax.grad(loss(f1), argnums=(0, 1, 2))(eq, ek, ev)
+    for a, b in zip(g0, g1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

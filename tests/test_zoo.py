@@ -179,3 +179,68 @@ def test_mlp_include_last_and_signatures(rng):
     m0 = MLP(5, 8, 3, 0, 0.0, "none", jax.nn.relu, with_graph=False)
     p0 = m0.init(jax.random.PRNGKey(2), x)
     np.testing.assert_allclose(np.asarray(m0.apply(p0, x)), np.asarray(x))
+
+
+def test_pna_full_surface_oracle(rng):
+    """PNAConv with towers=2, all aggregators, all scalers vs a NumPy
+    oracle of DGL PNAConv's equations (Corso et al.)."""
+    n, e, f = 10, 36, 8
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = build_graph(src, dst, n, n_pad=16, e_pad=48)
+    feat = rng.normal(size=(16, f)).astype(np.float32)
+    delta = 1.3
+
+    conv = PNAConv(features=8,
+                   aggregators=("mean", "max", "min", "std", "var", "sum"),
+                   scalers=("identity", "amplification", "attenuation"),
+                   num_towers=2, delta=delta)
+    params = conv.init(jax.random.PRNGKey(0), g, jnp.asarray(feat))
+    out = np.asarray(conv.apply(params, g, jnp.asarray(feat)))
+
+    # numpy oracle
+    p = params["params"]
+    in_deg = np.zeros(16)
+    np.add.at(in_deg, dst, 1.0)
+    logd = np.log(np.maximum(in_deg, 1.0) + 1.0)
+    outs = []
+    for t in range(2):
+        sl = slice(t * f // 2, (t + 1) * f // 2)
+        dm = p[f"M_{t}"]["Dense_0"]
+        wm, bm = np.asarray(dm["kernel"]), np.asarray(dm["bias"])
+        m = np.concatenate([feat[dst][:, sl], feat[src][:, sl]], -1) @ wm \
+            + bm
+        aggs = {k: np.zeros((16, f // 2), np.float32)
+                for k in ("sum", "sq")}
+        mx = np.full((16, f // 2), -np.inf, np.float32)
+        mn = np.full((16, f // 2), np.inf, np.float32)
+        for i in range(e):
+            aggs["sum"][dst[i]] += m[i]
+            aggs["sq"][dst[i]] += m[i] ** 2
+            mx[dst[i]] = np.maximum(mx[dst[i]], m[i])
+            mn[dst[i]] = np.minimum(mn[dst[i]], m[i])
+        cnt = np.maximum(in_deg, 1.0)[:, None]
+        mean = aggs["sum"] / cnt
+        var = np.maximum(aggs["sq"] / cnt - mean ** 2, 0.0)
+        std = np.sqrt(var + 1e-10)
+        mx[np.isinf(mx)] = 0.0  # framework zero-fills empty maxes
+        mn[np.isinf(mn)] = 0.0
+        parts = [feat[:, sl]]
+        for a in (mean, mx, mn, std, var, aggs["sum"]):
+            parts += [a, a * (logd[:, None] / delta),
+                      a * (delta / logd[:, None])]
+        du = p[f"U_{t}"]["Dense_0"]
+        wu, bu = np.asarray(du["kernel"]), np.asarray(du["bias"])
+        outs.append(np.concatenate(parts, -1) @ wu + bu)
+    dmix = p["mixing"]["Dense_0"]
+    wmix, bmix = np.asarray(dmix["kernel"]), np.asarray(dmix["bias"])
+    expected = np.concatenate(outs, -1) @ wmix + bmix
+    np.testing.assert_allclose(out[:n], expected[:n], atol=2e-4, rtol=1e-3)
+
+
+def test_pna_delta():
+    from sir_gcn_tpu.models import pna_delta
+
+    d = pna_delta([np.array([1.0, 3.0]), np.array([0.0])])
+    expected = np.mean(np.log([2.0, 4.0, 2.0]))
+    np.testing.assert_allclose(d, expected, rtol=1e-6)
