@@ -347,8 +347,16 @@ class FastGraph:
     dst_plan: ReducePlan
     src_plan: ReducePlan
     dst_slot_srcnode: jax.Array     # [S_dst] src node id per dst slot
+    src_slot_dstnode: jax.Array     # [S_src] dst node id per src slot
     src_slot_from_dst_slot: jax.Array  # [S_src] dst-slot index per src slot
     edge2dst_slot: jax.Array        # [E_pad] dst-slot index per sorted edge
+    edge2src_slot: jax.Array        # [E_pad] src-slot index per sorted edge
+    # Static per-slot scales (agg_type -> [S] f32, slot_valid folded in),
+    # precomputed host-side so the hot path never pays the per-edge scalar
+    # take (~20ms/step at arxiv scale — tools/microbench2.py). None when
+    # built with static_scales=() or consumed via a dynamic edge mask.
+    dst_slot_scales: Optional[dict]
+    src_slot_scales: Optional[dict]
 
     # GraphBatch conveniences so layers can treat FastGraph as a graph
     @property
@@ -417,8 +425,16 @@ class FastGraph:
 
 
 def build_fast_graph(graph: GraphBatch,
-                     max_budget: int = MAX_BUDGET) -> FastGraph:
-    """Host-side: attach ELL plans to a GraphBatch."""
+                     max_budget: int = MAX_BUDGET,
+                     static_scales: tuple = ("sum", "mean", "sym"),
+                     ) -> FastGraph:
+    """Host-side: attach ELL plans to a GraphBatch.
+
+    ``static_scales`` selects which aggregation types get precomputed
+    per-slot scale arrays (matching ``message_passing`` semantics exactly:
+    sum -> edge validity; mean -> validity / clamp(in_deg[dst], 1), the
+    division folded in; sym -> clamp-deg^-1/2 norms per conv.py:51-57).
+    """
     src = np.asarray(graph.src, np.int64)
     dst = np.asarray(graph.dst, np.int64)
     valid = np.asarray(graph.edge_mask, bool)
@@ -430,20 +446,55 @@ def build_fast_graph(graph: GraphBatch,
     dst_slot_edge = np.asarray(dst_plan.slot_edge, np.int64)
     src_slot_edge = np.asarray(src_plan.slot_edge, np.int64)
     dst_slot_srcnode = src[dst_slot_edge]
+    src_slot_dstnode = dst[src_slot_edge]
 
     edge2dst_slot = np.zeros(graph.e_pad, np.int64)
     dvalid = np.asarray(dst_plan.slot_valid) > 0
     edge2dst_slot[dst_slot_edge[dvalid]] = np.nonzero(dvalid)[0]
     src_slot_from_dst_slot = edge2dst_slot[src_slot_edge]
 
+    edge2src_slot = np.zeros(graph.e_pad, np.int64)
+    svalid = np.asarray(src_plan.slot_valid) > 0
+    edge2src_slot[src_slot_edge[svalid]] = np.nonzero(svalid)[0]
+
+    dst_scales = src_scales = None
+    if static_scales:
+        in_deg = np.asarray(graph.in_deg, np.float64)
+        out_deg = np.asarray(graph.out_deg, np.float64)
+        base = {}
+        vf = valid.astype(np.float64)
+        for agg in static_scales:
+            if agg == "sum":
+                base[agg] = vf
+            elif agg == "mean":
+                base[agg] = vf / np.maximum(in_deg[dst], 1.0)
+            elif agg == "sym":
+                base[agg] = vf * (
+                    np.maximum(out_deg, 1.0) ** -0.5)[src] * (
+                    np.maximum(in_deg, 1.0) ** -0.5)[dst]
+            else:
+                raise ValueError(f"unknown static scale agg {agg}")
+        dsv = np.asarray(dst_plan.slot_valid, np.float64)
+        ssv = np.asarray(src_plan.slot_valid, np.float64)
+        dst_scales = {
+            a: jnp.asarray((b[dst_slot_edge] * dsv).astype(np.float32))
+            for a, b in base.items()}
+        src_scales = {
+            a: jnp.asarray((b[src_slot_edge] * ssv).astype(np.float32))
+            for a, b in base.items()}
+
     return FastGraph(
         graph=graph,
         dst_plan=dst_plan,
         src_plan=src_plan,
         dst_slot_srcnode=jnp.asarray(dst_slot_srcnode, jnp.int32),
+        src_slot_dstnode=jnp.asarray(src_slot_dstnode, jnp.int32),
         src_slot_from_dst_slot=jnp.asarray(src_slot_from_dst_slot,
                                            jnp.int32),
         edge2dst_slot=jnp.asarray(edge2dst_slot, jnp.int32),
+        edge2src_slot=jnp.asarray(edge2src_slot, jnp.int32),
+        dst_slot_scales=dst_scales,
+        src_slot_scales=src_scales,
     )
 
 
@@ -469,46 +520,83 @@ def make_ell_sir_aggregate_pallas(
     interpret: bool = False,
     edge_dtype=None,
     remat: bool = False,
+    act_elementwise: bool = True,
+    static_scale: bool = False,
 ):
     """Pallas-kernel variant of :func:`make_ell_sir_aggregate`: the
     broadcast+activation+reduce stages run as fused streaming kernels per
     budget bucket (see ``ops/pallas/kernels.py``); gathers stay on XLA's
-    ``take``. With the default ``edge_dtype=None`` numerics match the XLA
-    variant exactly (f32, same order); ``edge_dtype=jnp.bfloat16`` halves
-    the edge-pipeline HBM traffic (gathered keys and backward slot
-    cotangents carried in bf16, all accumulation still f32) — the
-    framework's AMP analog for the message-passing hot path.
+    ``take``. ``edge_dtype=jnp.bfloat16`` halves the edge-pipeline HBM
+    traffic (gathered operands carried in bf16, all accumulation f32) —
+    the framework's AMP analog for the message-passing hot path.
 
-    ``remat=True`` is the activation-checkpointing option (SURVEY §7
-    recompute-vs-store): residuals shrink from slot-sized [S1, H] tensors
-    (~E x H) to the node-sized inputs, and the slot gather is recomputed
-    in backward — trades one extra gather per layer for O(E x H) live
-    memory, numerics identical."""
+    Backward design (measured on v5e — tools/gather_probe2.py): row takes
+    from node-sized tables run ~3x faster than from slot-sized tables, so
+    the backward NEVER touches a slot-sized table:
+
+    * g_ek is recomputed **src-major**: gather eq[dst_e] and the output
+      cotangent g[dst_e] per src slot from node tables, broadcast ek rows,
+      run the activation VJP in-kernel, reduce by src (``bucket_src_bwd``).
+    * g_eq: for ELEMENTWISE activations the dst-side cotangent factorizes
+      as g[u] * sum_e scale_e act'(z_e); the forward kernel emits that
+      derivative mass as a second output (``bucket_bcast_act_reduce2``)
+      and backward is a node-sized elementwise multiply. For general
+      row-wise activations (``act_elementwise=False``) a dst-major
+      ``bucket_geq_reduce`` pass over the saved gathered keys computes it
+      exactly.
+
+    Residuals are node-sized on the elementwise path by construction
+    (``remat`` only matters for the general path, where it drops the saved
+    slot-sized gather and re-gathers in backward).
+
+    ``static_scale=True`` uses the FastGraph's precomputed per-slot scale
+    arrays for ``agg_type`` (mean's degree division folded in) and ignores
+    the runtime ``edge_scale`` argument — use when no dynamic edge mask
+    (DropEdge) applies; it removes all per-edge scalar takes from the hot
+    path."""
     assert agg_type in ("sum", "mean", "sym")
     from .pallas import (
         bucket_bcast_act_reduce,
-        bucket_bcast_act_reduce_bwd,
-        bucket_scaled_reduce,
+        bucket_bcast_act_reduce2,
+        bucket_geq_reduce,
+        bucket_src_bwd,
     )
 
     plan = fg.dst_plan
     splan = fg.src_plan
     offs_d = _bucket_offsets(plan.buckets1)
     offs_s = _bucket_offsets(splan.buckets1)
+    if static_scale:
+        assert fg.dst_slot_scales is not None and \
+            agg_type in fg.dst_slot_scales, \
+            "FastGraph built without static scales for this agg_type"
 
-    def slot_inputs(eq, ek, e, edge_scale):
+    def dst_scale(edge_scale):
+        if static_scale:
+            return fg.dst_slot_scales[agg_type]
+        return plan.gather_edges(edge_scale) * plan.slot_valid
+
+    def src_scale(edge_scale):
+        if static_scale:
+            return fg.src_slot_scales[agg_type]
+        return splan.gather_edges(edge_scale) * splan.slot_valid
+
+    def cast(x):
+        return x.astype(edge_dtype) if edge_dtype is not None else x
+
+    def add_cast(a, b):
+        """a + b carried in the edge dtype, added in f32."""
         if edge_dtype is not None:
-            ek = ek.astype(edge_dtype)
-        ekg = jnp.take(ek, fg.dst_slot_srcnode, axis=0)
+            return (a.astype(jnp.float32)
+                    + b.astype(jnp.float32)).astype(edge_dtype)
+        return a + b
+
+    def dst_slot_inputs(eq, ek, e, edge_scale):
+        ekg = jnp.take(cast(ek), fg.dst_slot_srcnode, axis=0)
         if with_edge:
-            eg = plan.gather_edges(
-                e.astype(edge_dtype) if edge_dtype is not None else e)
-            ekg = (ekg.astype(jnp.float32)
-                   + eg.astype(jnp.float32)).astype(ekg.dtype) \
-                if edge_dtype is not None else ekg + eg
+            ekg = add_cast(ekg, plan.gather_edges(cast(e)))
         eq_rows = jnp.take(eq, plan.row_key, axis=0)
-        s = plan.gather_edges(edge_scale) * plan.slot_valid
-        return ekg, eq_rows, s
+        return ekg, eq_rows, dst_scale(edge_scale)
 
     def fwd_rows(ekg, eq_rows, s):
         rows = []
@@ -519,56 +607,94 @@ def make_ell_sir_aggregate_pallas(
                 interpret=interpret))
         return jnp.concatenate(rows) if len(rows) > 1 else rows[0]
 
+    def fwd_rows2(ekg, eq_rows, s):
+        rows, srows = [], []
+        for b, nr, so, ro in offs_d:
+            r, sr = bucket_bcast_act_reduce2(
+                ekg[so:so + b * nr], eq_rows[ro:ro + nr],
+                s[so:so + b * nr].reshape(nr, b), b, activation,
+                interpret=interpret)
+            rows.append(r)
+            srows.append(sr)
+        cat = lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+        return cat(rows), cat(srows)
+
+    def src_pass(eq, ek, e, edge_scale, g, need_gz: bool):
+        """g_ek (and optionally per-slot g_z) via the src-major kernel."""
+        eqg = jnp.take(cast(eq), fg.src_slot_dstnode, axis=0)
+        if with_edge:
+            eqg = add_cast(eqg, splan.gather_edges(cast(e)))
+        gg = jnp.take(cast(g), fg.src_slot_dstnode, axis=0)
+        ek_rows = jnp.take(ek, splan.row_key, axis=0)
+        s = src_scale(edge_scale)
+        gz_dt = (edge_dtype or jnp.float32) if need_gz else None
+        rows, gzs = [], []
+        for b, nr, so, ro in offs_s:
+            r, gz = bucket_src_bwd(
+                eqg[so:so + b * nr], ek_rows[ro:ro + nr],
+                s[so:so + b * nr].reshape(nr, b),
+                gg[so:so + b * nr], b, activation,
+                interpret=interpret, gz_dtype=gz_dt)
+            rows.append(r)
+            gzs.append(gz)
+        cat = lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+        g_ek = splan.finalize_rows_sum(cat(rows))
+        if need_gz:
+            g_z = cat(gzs)
+            g_e = (jnp.take(g_z, fg.edge2src_slot, axis=0)
+                   .astype(jnp.float32)
+                   * fg.edge_mask[:, None].astype(jnp.float32))
+        else:
+            g_e = jnp.zeros((0,), jnp.float32)
+        return g_ek, g_e
+
     @jax.custom_vjp
     def f(eq, ek, e, edge_scale):
-        ekg, eq_rows, s = slot_inputs(eq, ek, e, edge_scale)
+        ekg, eq_rows, s = dst_slot_inputs(eq, ek, e, edge_scale)
         return plan.finalize_rows_sum(fwd_rows(ekg, eq_rows, s))
 
-    def f_fwd(eq, ek, e, edge_scale):
-        ekg, eq_rows, s = slot_inputs(eq, ek, e, edge_scale)
-        out = plan.finalize_rows_sum(fwd_rows(ekg, eq_rows, s))
-        if remat:
-            return out, (eq, ek, e, edge_scale)
-        return out, (ekg, eq_rows, s)
+    if act_elementwise:
+        def f_fwd(eq, ek, e, edge_scale):
+            ekg, eq_rows, s = dst_slot_inputs(eq, ek, e, edge_scale)
+            rows, srows = fwd_rows2(ekg, eq_rows, s)
+            out = plan.finalize_rows_sum(rows)
+            sbar = plan.finalize_rows_sum(srows)  # [N,H] deriv mass
+            return out, (eq, ek, e, edge_scale, sbar)
 
-    def f_bwd(res, g):
-        if remat:
-            ekg, eq_rows, s = slot_inputs(*res)
-        else:
-            ekg, eq_rows, s = res
-        g_rows1 = jnp.take(g, plan.row_key, axis=0)
-        g_z_parts, g_eqr_parts = [], []
-        for b, nr, so, ro in offs_d:
-            gz, geq = bucket_bcast_act_reduce_bwd(
-                ekg[so:so + b * nr], eq_rows[ro:ro + nr],
-                s[so:so + b * nr].reshape(nr, b),
-                g_rows1[ro:ro + nr], b, activation,
-                interpret=interpret, gz_dtype=edge_dtype)
-            g_z_parts.append(gz)
-            g_eqr_parts.append(geq)
-        g_z = (jnp.concatenate(g_z_parts) if len(g_z_parts) > 1
-               else g_z_parts[0])
-        g_eqr = (jnp.concatenate(g_eqr_parts) if len(g_eqr_parts) > 1
-                 else g_eqr_parts[0])
-        g_eq = plan.finalize_rows_sum(g_eqr)
+        def f_bwd(res, g):
+            eq, ek, e, edge_scale, sbar = res
+            g_eq = g * sbar
+            g_ek, g_e = src_pass(eq, ek, e, edge_scale, g, with_edge)
+            return (g_eq, g_ek, g_e,
+                    jnp.zeros((fg.e_pad,), jnp.float32))
+    else:
+        def f_fwd(eq, ek, e, edge_scale):
+            ekg, eq_rows, s = dst_slot_inputs(eq, ek, e, edge_scale)
+            out = plan.finalize_rows_sum(fwd_rows(ekg, eq_rows, s))
+            if remat:
+                return out, (eq, ek, e, edge_scale)
+            return out, (eq, ek, e, edge_scale, ekg, eq_rows, s)
 
-        g_z_src = jnp.take(g_z, fg.src_slot_from_dst_slot, axis=0)
-        sv = splan.slot_valid
-        srows = []
-        for b, nr, so, ro in offs_s:
-            srows.append(bucket_scaled_reduce(
-                g_z_src[so:so + b * nr],
-                sv[so:so + b * nr].reshape(nr, b), b,
-                interpret=interpret))
-        g_ek = splan.finalize_rows_sum(
-            jnp.concatenate(srows) if len(srows) > 1 else srows[0])
-
-        if with_edge:
-            g_e = (jnp.take(g_z, fg.edge2dst_slot, axis=0)
-                   * fg.edge_mask[:, None].astype(g_z.dtype))
-        else:
-            g_e = jnp.zeros((0,), g_z.dtype)
-        return (g_eq, g_ek, g_e, jnp.zeros((fg.e_pad,), g_z.dtype))
+        def f_bwd(res, g):
+            if remat:
+                eq, ek, e, edge_scale = res
+                ekg, eq_rows, s = dst_slot_inputs(eq, ek, e, edge_scale)
+            else:
+                eq, ek, e, edge_scale, ekg, eq_rows, s = res
+            g_rows1 = jnp.take(g, plan.row_key, axis=0)
+            parts = []
+            for b, nr, so, ro in offs_d:
+                parts.append(bucket_geq_reduce(
+                    ekg[so:so + b * nr], eq_rows[ro:ro + nr],
+                    s[so:so + b * nr].reshape(nr, b),
+                    g_rows1[ro:ro + nr], b, activation,
+                    interpret=interpret))
+            g_eqr = (jnp.concatenate(parts) if len(parts) > 1
+                     else parts[0])
+            g_eq = plan.finalize_rows_sum(g_eqr)
+            g_ek, g_e = src_pass(eq, ek, e, edge_scale, g, with_edge)
+            return (g_eq, g_ek, g_e,
+                    jnp.zeros((fg.e_pad,), jnp.float32))
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -580,6 +706,7 @@ def make_ell_sir_aggregate(
     agg_type: str,
     with_edge: bool = False,
     remat: bool = False,
+    static_scale: bool = False,
 ):
     """Build the fast-path linear-agg SIR aggregation for a fixed graph:
 
@@ -595,6 +722,14 @@ def make_ell_sir_aggregate(
     """
     assert agg_type in ("sum", "mean", "sym")
     plan = fg.dst_plan
+    if static_scale:
+        assert fg.dst_slot_scales is not None and \
+            agg_type in fg.dst_slot_scales
+
+    def slot_scale(edge_scale):
+        if static_scale:
+            return fg.dst_slot_scales[agg_type]
+        return plan.gather_edges(edge_scale) * plan.slot_valid
 
     def slot_z(eq, ek, e):
         z = plan.spread(eq) + jnp.take(ek, fg.dst_slot_srcnode, axis=0)
@@ -605,7 +740,7 @@ def make_ell_sir_aggregate(
     def fwd_compute(eq, ek, e, edge_scale):
         z = slot_z(eq, ek, e)
         m = activation(z)
-        s = plan.gather_edges(edge_scale) * plan.slot_valid
+        s = slot_scale(edge_scale)
         out = plan.reduce_slots_sum(m * s[:, None])
         return out, (z, s)
 
@@ -623,7 +758,7 @@ def make_ell_sir_aggregate(
         if remat:
             eq, ek, e, edge_scale = res
             z = slot_z(eq, ek, e)
-            s = plan.gather_edges(edge_scale) * plan.slot_valid
+            s = slot_scale(edge_scale)
         else:
             z, s = res
         # dL/dm_slot = spread(g); dL/dz = that * scale * act'(z)
@@ -732,24 +867,92 @@ def make_ell_sir_aggregate_max(
     return f
 
 
+_ELEMENTWISE_CACHE: dict = {}
+
+
+def activation_is_elementwise(act: Callable, h: int) -> bool:
+    """Probe whether ``act`` has a diagonal Jacobian over the feature dim.
+
+    Evaluated once per (activation object, width) on a tiny concrete
+    input: the full ``jacfwd`` on a [2, h] probe must be elementwise-
+    diagonal. Anything that raises — including activations closing over
+    traced parameters (e.g. the DictionaryLookup MLP-augmented sigma,
+    reference ``synthetic-datasets/dictionary-lookup/model.py:14-24``) —
+    is conservatively reported non-elementwise, which routes the Pallas
+    backward onto the exact general (row-wise) path."""
+    return _activation_info(act, h)[0]
+
+
+def activation_pallas_compatible(act: Callable, h: int) -> bool:
+    """Whether ``act`` can run inside a Pallas kernel: it must not close
+    over array constants or traced values (kernels cannot capture them —
+    probed via ``jax.closure_convert``). Incompatible activations are
+    routed to the pure-XLA ELL builder, which is still scatter-free."""
+    return _activation_info(act, h)[1]
+
+
+def _activation_info(act: Callable, h: int) -> tuple:
+    key = (id(act), h)
+    hit = _ELEMENTWISE_CACHE.get(key)
+    # id() can be recycled after gc; revalidate with the stored ref.
+    if hit is not None and hit[0] is act:
+        return hit[1], hit[2]
+    z = jnp.linspace(-2.0, 2.0, 2 * h, dtype=jnp.float32).reshape(2, h)
+    try:
+        jac = np.asarray(jax.jacfwd(act)(z), np.float64)
+        elem = jac.shape == (2, h, 2, h)
+        if elem:
+            i = np.arange(2)[:, None]
+            j = np.arange(h)[None, :]
+            diag_mask = np.zeros(jac.shape, bool)
+            diag_mask[i, j, i, j] = True
+            off = np.abs(jac[~diag_mask]).max(initial=0.0)
+            elem = bool(
+                off <= 1e-6 * max(np.abs(jac).max(initial=0.0), 1e-30))
+    except Exception:
+        elem = False
+    try:
+        # Pallas kernels cannot capture jaxpr constants (arrays or traced
+        # values closed over by sigma) — pallas_call raises "captures
+        # constants [...]"; such activations go to the XLA ELL builder.
+        pallas_ok = not jax.make_jaxpr(act)(z).consts
+    except Exception:
+        pallas_ok = False
+    _ELEMENTWISE_CACHE[key] = (act, elem, pallas_ok)
+    if len(_ELEMENTWISE_CACHE) > 256:
+        _ELEMENTWISE_CACHE.clear()
+        _ELEMENTWISE_CACHE[key] = (act, elem, pallas_ok)
+    return elem, pallas_ok
+
+
 def ell_sir_aggregate(fg: FastGraph, eq, ek, activation, agg_type,
-                      e=None, edge_scale=None, use_pallas=None):
+                      e=None, edge_scale=None, use_pallas=None,
+                      static_scale: bool = False):
     """One-shot convenience wrapper (the builder itself is cheap; the jit
     cache dedupes compiled code by jaxpr). ``use_pallas=None`` selects the
-    fused kernels automatically on TPU backends."""
+    fused kernels automatically on TPU backends. ``static_scale=True``
+    consumes the FastGraph's precomputed per-slot scales for ``agg_type``
+    (mean's degree division folded in) and ignores ``edge_scale`` — only
+    valid when no dynamic edge mask applies."""
     if use_pallas is None:
         from .pallas import pallas_available
         use_pallas = pallas_available()
     from .message_passing import get_edge_dtype, get_remat
 
     if use_pallas:
+        elem, pallas_ok = _activation_info(activation, eq.shape[-1])
+        use_pallas = pallas_ok  # closure-capturing sigma -> XLA builder
+    if use_pallas:
         f = make_ell_sir_aggregate_pallas(
             fg, activation, agg_type, with_edge=e is not None,
-            edge_dtype=get_edge_dtype(), remat=get_remat())
+            edge_dtype=get_edge_dtype(), remat=get_remat(),
+            act_elementwise=elem,
+            static_scale=static_scale)
     else:
         f = make_ell_sir_aggregate(fg, activation, agg_type,
                                    with_edge=e is not None,
-                                   remat=get_remat())
+                                   remat=get_remat(),
+                                   static_scale=static_scale)
     if edge_scale is None:
         edge_scale = fg.edge_mask.astype(eq.dtype)
     if e is None:

@@ -111,6 +111,13 @@ def sir_aggregate(
 
     if isinstance(graph, FastGraph) and agg_type in ("sum", "mean", "sym"):
         g = graph.graph
+        if (edge_mask is None and graph.dst_slot_scales is not None
+                and agg_type in graph.dst_slot_scales):
+            # No dynamic mask: consume the host-precomputed per-slot
+            # scales (mean's degree division folded in) — removes every
+            # per-edge scalar take from the hot path.
+            return ell_sir_aggregate(graph, eq, ek, activation, agg_type,
+                                     e=e, static_scale=True)
         valid = g.edge_mask if edge_mask is None else jnp.logical_and(
             g.edge_mask, edge_mask)
         scale = valid.astype(eq.dtype)

@@ -85,6 +85,174 @@ def bucket_bcast_act_reduce(
     )(ekg, eq_rows, scale)
 
 
+def bucket_bcast_act_reduce2(
+    ekg: jax.Array,       # [R*B, H] gathered key-side values (slot order)
+    eq_rows: jax.Array,   # [R, H]   per-row query values
+    scale: jax.Array,     # [R, B] fused scale (0 = padding slot)
+    budget: int,
+    activation: Callable[[jax.Array], jax.Array],
+    interpret: bool = False,
+):
+    """Dual-output forward for ELEMENTWISE activations:
+
+        rows[r]  = sum_b scale[r,b] * act(z[r,b])
+        srows[r] = sum_b scale[r,b] * act'(z[r,b])     (elementwise act')
+
+    ``srows`` is the per-row derivative mass that lets the backward pass
+    compute g_eq = g * finalize(srows) with ZERO extra edge-sized passes
+    (the dst-side cotangent factorizes because dL/dz_e = scale_e *
+    act'(z_e) * g[dst_e] and g[dst_e] is constant within a dst row).
+    Only valid when ``activation`` has a diagonal Jacobian.
+    """
+    R, H = eq_rows.shape
+    B = budget
+    TR = _tile_rows(B)
+    grid = (_cdiv(R, TR),)
+
+    def kernel(ekg_ref, eq_ref, sc_ref, out_ref, s_ref):
+        z = (ekg_ref[:].astype(jnp.float32).reshape(TR, B, H)
+             + eq_ref[:][:, None, :])
+        m, vjp = jax.vjp(activation, z)
+        sc3 = sc_ref[:][:, :, None]
+        out_ref[:] = (m * sc3).sum(axis=1)
+        (d,) = vjp(jnp.broadcast_to(sc3, z.shape))
+        s_ref[:] = d.sum(axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, H), eq_rows.dtype),
+            jax.ShapeDtypeStruct((R, H), jnp.float32),
+        ),
+        interpret=interpret,
+    )(ekg, eq_rows, scale)
+
+
+def bucket_geq_reduce(
+    ekg: jax.Array,       # [R*B, H]
+    eq_rows: jax.Array,   # [R, H]
+    scale: jax.Array,     # [R, B]
+    g_rows: jax.Array,    # [R, H] cotangent of the row sums
+    budget: int,
+    activation: Callable[[jax.Array], jax.Array],
+    interpret: bool = False,
+) -> jax.Array:
+    """dst-side backward for GENERAL (row-wise) activations: returns only
+    g_eq_rows[r] = sum_b vjp(act, z[r,b])(scale[r,b] * g_rows[r]) — the
+    old ``bucket_bcast_act_reduce_bwd`` minus the slot-sized g_z output
+    (which the src-major pass now recomputes from node tables)."""
+    R, H = eq_rows.shape
+    B = budget
+    TR = _tile_rows(B)
+    grid = (_cdiv(R, TR),)
+
+    def kernel(ekg_ref, eq_ref, sc_ref, g_ref, geq_ref):
+        z = (ekg_ref[:].astype(jnp.float32).reshape(TR, B, H)
+             + eq_ref[:][:, None, :])
+        _, vjp = jax.vjp(activation, z)
+        g_m = g_ref[:][:, None, :] * sc_ref[:][:, :, None]
+        (g_z,) = vjp(g_m)
+        geq_ref[:] = g_z.sum(axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, H), eq_rows.dtype),
+        interpret=interpret,
+    )(ekg, eq_rows, scale, g_rows)
+
+
+def bucket_src_bwd(
+    eqg: jax.Array,       # [R*B, H] dst-side values gathered per SRC slot
+    ek_rows: jax.Array,   # [R, H]   per-src-row key values
+    scale: jax.Array,     # [R, B]   scale in src-slot order
+    gg: jax.Array,        # [R*B, H] output cotangent gathered per SRC slot
+    budget: int,
+    activation: Callable[[jax.Array], jax.Array],
+    interpret: bool = False,
+    gz_dtype=None,
+):
+    """src-major backward: recomputes z = eq[dst_e] + ek[src_e] in SRC
+    slot order (all inputs gathered from fast node-sized tables — the
+    slot-sized g_z permute this replaces costs ~3x more; see
+    tools/gather_probe2.py) and reduces the cotangent by src:
+
+        g_ek_rows[r] = sum_b vjp(act, z[r,b])(scale[r,b] * gg[r,b])
+
+    With ``gz_dtype`` set, also emits the per-slot cotangent g_z (needed
+    for edge-feature gradients)."""
+    R, H = ek_rows.shape
+    B = budget
+    TR = _tile_rows(B)
+    grid = (_cdiv(R, TR),)
+    emit_gz = gz_dtype is not None
+
+    def kernel(eqg_ref, ek_ref, sc_ref, gg_ref, *out_refs):
+        z = (eqg_ref[:].astype(jnp.float32).reshape(TR, B, H)
+             + ek_ref[:][:, None, :])
+        _, vjp = jax.vjp(activation, z)
+        g_m = (gg_ref[:].astype(jnp.float32).reshape(TR, B, H)
+               * sc_ref[:][:, :, None])
+        (g_z,) = vjp(g_m)
+        out_refs[0][:] = g_z.sum(axis=1)
+        if emit_gz:
+            out_refs[1][:] = g_z.reshape(TR * B, H).astype(gz_dtype)
+
+    out_specs = [pl.BlockSpec((TR, H), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((R, H), ek_rows.dtype)]
+    if emit_gz:
+        out_specs.append(pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((R * B, H), gz_dtype))
+
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(eqg, ek_rows, scale, gg)
+    return res if emit_gz else (res[0], None)
+
+
 def bucket_bcast_act_reduce_bwd(
     ekg: jax.Array,       # [R*B, H]
     eq_rows: jax.Array,   # [R, H]
