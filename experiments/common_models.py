@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from sir_gcn_tpu.graph import GraphBatch, drop_edge_mask
 from sir_gcn_tpu.models import MLP, Embed, Linear, SIRConv, SIREConv, get_norm
-from sir_gcn_tpu.models.zoo import GINConv
+from sir_gcn_tpu.models.zoo import GATv2Conv, GINConv
 from sir_gcn_tpu.ops.pool import get_pool
 
 
@@ -177,3 +177,67 @@ class GraphGINModel(nn.Module):
             for i, h in enumerate(heads)
         )
         return get_pool(self.readout_pooling)(graph, score)
+
+
+class GraphGATModel(nn.Module):
+    """GATv2 baseline on batched graphs (reference
+    ``benchmark-datasets/sbm-dataset/model.py:55-92``): Embedding to
+    heads*hidden -> N x [DropEdge, GATv2Conv(share_weights, bias=False,
+    attn_drop, residual), flatten heads, norm, LeakyReLU(0.2), dropout]
+    -> jumping-knowledge readout MLPs (node-level unless pooled)."""
+
+    encoder: Callable
+    hidden_dim: int
+    output_dim: int
+    num_layers: int = 1
+    input_dropout: float = 0.0
+    edge_dropout: float = 0.0
+    dropout: float = 0.0
+    norm: str = "none"
+    readout_layers: int = 1
+    readout_dropout: float = 0.0
+    readout_pooling: str = "sum"
+    jumping_knowledge: bool = True
+    residual: bool = False
+    num_heads: int = 1
+    attn_dropout: float = 0.0
+    pool_after_readout: bool = True
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, nfeats, efeats=None, *,
+                 deterministic: bool = True):
+        act = leaky_relu02
+        width = self.num_heads * self.hidden_dim
+        x = nn.Dropout(self.input_dropout, deterministic=deterministic)(
+            self.encoder(self, nfeats))
+
+        xs = [x] if self.jumping_knowledge else []
+        for i in range(self.num_layers):
+            emask = None
+            if self.edge_dropout > 0 and not deterministic:
+                emask = drop_edge_mask(self.make_rng("dropout"), graph,
+                                       self.edge_dropout)
+            x = GATv2Conv(self.hidden_dim, self.num_heads,
+                          share_weights=True, use_bias=False,
+                          attn_dropout=self.attn_dropout,
+                          residual=self.residual, name=f"conv_{i}")(
+                graph, x, edge_mask=emask, deterministic=deterministic)
+            x = x.reshape(x.shape[0], -1)
+            x = get_norm(self.norm, True, width)(
+                graph, x, deterministic=deterministic)
+            x = act(x)
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+            if self.jumping_knowledge:
+                xs.append(x)
+
+        heads = xs if self.jumping_knowledge else [x]
+        score = sum(
+            MLP(width, self.hidden_dim, self.output_dim,
+                self.readout_layers, self.readout_dropout, "none", act,
+                include_last=False, with_graph=False,
+                name=f"readout_{i}")(h, deterministic=deterministic)
+            for i, h in enumerate(heads)
+        )
+        if self.pool_after_readout:
+            return get_pool(self.readout_pooling)(graph, score)
+        return score

@@ -179,6 +179,9 @@ def main(argv=None):
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("--cpu", action="store_true", help="CPU mode")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="ignored (device selection is automatic); accepted "
+                        "so reference commands run unchanged")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model", type=str, default="SIR", choices=list(MODELS))
     p.add_argument("--nhidden", type=int, default=64)

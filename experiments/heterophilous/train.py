@@ -115,6 +115,9 @@ def main(argv=None):
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="ignored (device selection is automatic); accepted "
+                        "so reference commands run unchanged")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use-amp", action="store_true",
                    help="bf16 compute policy (TPU analog of AMP)")

@@ -59,13 +59,24 @@ class MLPEgc(nn.Module):
 
 
 class SIRModel(nn.Module):
+    """``readout_layers=0`` (default) keeps the active reference model's
+    fixed EGC readout after pooling (model.py:70-71,86); >0 switches to
+    the richer commented variant's per-node readout MLPs — with
+    ``jumping_knowledge`` one summed readout per layer — pooled after
+    (model.py:126-149). ``resid_layers>0`` replaces the identity residual
+    with the richer variant's MLP residual (model.py:120)."""
+
     hidden_dim: int
     output_dim: int
     num_layers: int = 1
     input_dropout: float = 0.0
+    edge_dropout: float = 0.0
     dropout: float = 0.0
     norm: str = "none"
+    readout_layers: int = 0
+    readout_dropout: float = 0.0
     readout_pooling: str = "sum"
+    jumping_knowledge: bool = False
     virtual_node: bool = False
     vn_layers: int = 0
     vn_dropout: float = 0.0
@@ -73,6 +84,8 @@ class SIRModel(nn.Module):
     rand_feat: bool = False
     max_degree: int = 0
     residual: bool = False
+    resid_layers: int = 0
+    resid_dropout: float = 0.0
     feat_dropout: float = 0.0
     agg_type: str = "sum"
     use_edge_feats: bool = False
@@ -101,11 +114,26 @@ class SIRModel(nn.Module):
             mod_pool=sum_pool, name="vn")
         vnfeat = None
 
+        from sir_gcn_tpu.graph import drop_edge_mask
+
+        xs = [x] if self.jumping_knowledge else []
         for i in range(self.num_layers):
             if self.virtual_node:
                 x, vnfeat = vn.node_emb(graph, x, vnfeat,
                                         deterministic=deterministic)
-            resid = x
+            emask = None
+            if self.edge_dropout > 0 and not deterministic:
+                emask = drop_edge_mask(self.make_rng("dropout"), graph,
+                                       self.edge_dropout)
+            if self.resid_layers > 0 and self.residual:
+                resid = MLP(self.hidden_dim, self.hidden_dim,
+                            self.hidden_dim, self.resid_layers,
+                            self.resid_dropout, "none", act,
+                            include_last=False, with_graph=False,
+                            name=f"resid_{i}")(
+                    x, deterministic=deterministic)
+            else:
+                resid = x
             if self.use_edge_feats:
                 x = SIREConv(
                     self.hidden_dim, self.hidden_dim, act,
@@ -113,22 +141,36 @@ class SIRModel(nn.Module):
                     edge_encoder=lambda e: BondEncoder(
                         self.hidden_dim, name=f"bond_{i}")(e),
                     name=f"conv_{i}")(
-                    graph, x, efeats, deterministic=deterministic)
+                    graph, x, efeats, edge_mask=emask,
+                    deterministic=deterministic)
             else:
                 x = SIRConv(self.hidden_dim, self.hidden_dim, act,
                             self.feat_dropout, agg_type=self.agg_type,
                             name=f"conv_{i}")(
-                    graph, x, deterministic=deterministic)
+                    graph, x, edge_mask=emask,
+                    deterministic=deterministic)
             x = get_norm(self.norm, True, self.hidden_dim)(
                 graph, x, deterministic=deterministic)
             x = act(x)
-            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
             if self.residual:
                 x = x + resid
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+            if self.jumping_knowledge:
+                xs.append(x)
             if self.virtual_node and i < self.num_layers - 1:
                 vnfeat = vn.vn_emb(graph, x, vnfeat,
                                    deterministic=deterministic)
 
+        if self.readout_layers > 0:
+            heads = xs if self.jumping_knowledge else [x]
+            score = sum(
+                MLP(self.hidden_dim, self.hidden_dim, self.output_dim,
+                    self.readout_layers, self.readout_dropout, "none",
+                    act, include_last=False, with_graph=False,
+                    name=f"readout_{i}")(h, deterministic=deterministic)
+                for i, h in enumerate(heads)
+            )
+            return get_pool(self.readout_pooling)(graph, score)
         pooled = get_pool(self.readout_pooling)(graph, x)
         h = self.hidden_dim
         return MLPEgc((h, h // 2, h // 4, self.output_dim)[1:],

@@ -67,8 +67,20 @@ def run_single(args, seed):
         load_molhiv(args, seed)
     if synthetic:
         print("[warn] no ogbg-molhiv cache; synthetic stand-in")
+    if args.add_self_loop:
+        from experiments.batched_harness import apply_self_loops
+
+        graphs, efeats = apply_self_loops(graphs, efeats)
     coll = GraphCollection(graphs, node_feats=nfeats, edge_feats=efeats,
                            labels=labels)
+
+    max_degree = args.max_degree
+    if args.centrality_encoder:
+        # reference train.py:228: max_degree = dataset.max_degree
+        max_degree = max(
+            (int(np.bincount(np.asarray(d, np.int64),
+                             minlength=1).max()) if len(d) else 0)
+            for _, d, _ in graphs)
 
     model = MODELS[args.model](
         hidden_dim=args.nhidden, output_dim=1, num_layers=args.nlayers,
@@ -76,10 +88,16 @@ def run_single(args, seed):
         norm=args.norm, readout_pooling=args.readout_pooling,
         virtual_node=args.virtual_node, vn_layers=args.vn_layers,
         vn_dropout=args.vn_dropout, vn_residual=args.vn_residual,
-        **({"rand_feat": args.rand_feat, "max_degree": args.max_degree,
+        **({"rand_feat": args.rand_feat, "max_degree": max_degree,
             "residual": args.residual, "feat_dropout": args.feat_dropout,
             "agg_type": args.agg_type,
-            "use_edge_feats": args.use_edge_feats}
+            "use_edge_feats": args.use_edge_feats,
+            "edge_dropout": args.edge_dropout,
+            "readout_layers": args.readout_layers,
+            "readout_dropout": args.readout_dropout,
+            "jumping_knowledge": args.jumping_knowledge,
+            "resid_layers": args.resid_layers,
+            "resid_dropout": args.resid_dropout}
            if args.model == "SIR" else {"mlp_layers": args.nlayers_mlp}),
     )
 
@@ -208,13 +226,31 @@ def main(argv=None):
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="ignored (device selection is automatic); accepted "
+                        "so reference commands run unchanged")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model", type=str, default="SIR",
                    choices=["SIR", "GIN"])
     p.add_argument("--nhidden", type=int, default=64)
     p.add_argument("--nlayers", type=int, default=4)
     p.add_argument("--input-dropout", type=float, default=0)
+    p.add_argument("--edge-dropout", type=float, default=0,
+                   help="per-layer edge dropout rate")
     p.add_argument("--dropout", type=float, default=0)
+    p.add_argument("--readout-layers", type=int, default=0,
+                   help="0 = the reference active model's fixed EGC "
+                        "readout; >0 = per-node readout MLP layers "
+                        "(richer variant)")
+    p.add_argument("--readout-dropout", type=float, default=0)
+    p.add_argument("--jumping-knowledge", action="store_true",
+                   help="sum per-layer readouts (needs --readout-layers)")
+    p.add_argument("--resid-layers", type=int, default=0,
+                   help="MLP residual layers (0 = identity residual)")
+    p.add_argument("--resid-dropout", type=float, default=0)
+    p.add_argument("--add-self-loop", action="store_true")
+    p.add_argument("--centrality-encoder", action="store_true",
+                   help="set max-degree from the dataset's max in-degree")
     p.add_argument("--norm", type=str, default="none",
                    choices=["gn", "cn", "bn", "ln", "none"])
     p.add_argument("--readout-pooling", type=str, default="sum",

@@ -101,6 +101,9 @@ def main(argv=None):
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="ignored (device selection is automatic); accepted "
+                        "so reference commands run unchanged")
     p.add_argument("--add-self-loop", action="store_true")
     p.add_argument("--add-reverse-edge", action="store_true")
     p.add_argument("--use-sym", action="store_true",

@@ -113,6 +113,8 @@ class GATModel(nn.Module):
     readout_dropout: float = 0.0
     jumping_knowledge: bool = True
     num_heads: int = 1
+    attn_dropout: float = 0.0
+    residual: bool = False
 
     @nn.compact
     def __call__(self, graph: GraphBatch, feats: jax.Array,
@@ -133,7 +135,10 @@ class GATModel(nn.Module):
                 emask = None
             x = GATv2Conv(self.hidden_dim, self.num_heads,
                           share_weights=False,
-                          name=f"conv_{i}")(graph, x, edge_mask=emask)
+                          attn_dropout=self.attn_dropout,
+                          residual=self.residual,
+                          name=f"conv_{i}")(graph, x, edge_mask=emask,
+                                            deterministic=deterministic)
             x = x.reshape(x.shape[0], -1)
             norm = get_norm(self.norm, True,
                             self.num_heads * self.hidden_dim)

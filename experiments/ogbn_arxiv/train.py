@@ -246,7 +246,9 @@ def run_single(args, seed: int, data, iter_idx: int):
         **({"residual": args.residual, "resid_layers": args.resid_layers,
             "resid_dropout": args.resid_dropout,
             "feat_dropout": args.feat_dropout, "agg_type": args.agg_type}
-           if args.model == "SIR" else {"num_heads": args.nheads}),
+           if args.model == "SIR" else
+           {"num_heads": args.nheads, "attn_dropout": args.attn_dropout,
+            "residual": args.residual}),
     )
     input_dim = feats.shape[1] + (num_classes if args.use_labels else 0)
     dummy = jnp.zeros((n_pad, input_dim), jnp.float32)
@@ -348,6 +350,9 @@ def get_args(argv=None):
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="ignored (device selection is automatic); accepted "
+                        "so reference commands run unchanged")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model", type=str, default="SIR",
                    choices=["SIR", "GAT"])

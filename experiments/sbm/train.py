@@ -87,20 +87,43 @@ def run_single(args, seed):
         graphs, _ = apply_self_loops(graphs, None)
     coll = GraphCollection(graphs, node_feats=nfeats, node_labels=nlabels)
 
-    def encoder(mdl, feats):
-        return Embed(input_dim, args.nhidden, name="node_encoder")(feats)
+    if args.model == "GAT":
+        from experiments.common_models import GraphGATModel
 
-    model = GraphSIRModel(
-        encoder=encoder, hidden_dim=args.nhidden, output_dim=num_classes,
-        num_layers=args.nlayers, input_dropout=args.input_dropout,
-        edge_dropout=args.edge_dropout, dropout=args.dropout,
-        norm=args.norm, readout_layers=args.readout_layers,
-        readout_dropout=args.readout_dropout,
-        jumping_knowledge=args.jumping_knowledge,
-        residual=args.residual, resid_layers=args.resid_layers,
-        resid_dropout=args.resid_dropout, feat_dropout=args.feat_dropout,
-        agg_type=args.agg_type, pool_after_readout=False,
-    )
+        def encoder(mdl, feats):
+            # reference sbm model.py:69: Embedding(input, heads*hidden)
+            return Embed(input_dim, args.nheads * args.nhidden,
+                         name="node_encoder")(feats)
+
+        model = GraphGATModel(
+            encoder=encoder, hidden_dim=args.nhidden,
+            output_dim=num_classes, num_layers=args.nlayers,
+            input_dropout=args.input_dropout,
+            edge_dropout=args.edge_dropout, dropout=args.dropout,
+            norm=args.norm, readout_layers=args.readout_layers,
+            readout_dropout=args.readout_dropout,
+            jumping_knowledge=args.jumping_knowledge,
+            residual=args.residual, num_heads=args.nheads,
+            attn_dropout=args.attn_dropout, pool_after_readout=False,
+        )
+    else:
+        def encoder(mdl, feats):
+            return Embed(input_dim, args.nhidden,
+                         name="node_encoder")(feats)
+
+        model = GraphSIRModel(
+            encoder=encoder, hidden_dim=args.nhidden,
+            output_dim=num_classes,
+            num_layers=args.nlayers, input_dropout=args.input_dropout,
+            edge_dropout=args.edge_dropout, dropout=args.dropout,
+            norm=args.norm, readout_layers=args.readout_layers,
+            readout_dropout=args.readout_dropout,
+            jumping_knowledge=args.jumping_knowledge,
+            residual=args.residual, resid_layers=args.resid_layers,
+            resid_dropout=args.resid_dropout,
+            feat_dropout=args.feat_dropout,
+            agg_type=args.agg_type, pool_after_readout=False,
+        )
 
     def weighted_ce(preds, labels, weights):
         """Class-weighted CE, weights from the batch label histogram
@@ -130,10 +153,18 @@ def main(argv=None):
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="ignored (device selection is automatic); accepted "
+                        "so reference commands run unchanged")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dataset", type=str, default="PATTERN",
                    choices=["PATTERN", "CLUSTER"])
-    p.add_argument("--model", type=str, default="SIR", choices=["SIR"])
+    p.add_argument("--model", type=str, default="SIR",
+                   choices=["SIR", "GAT"])
+    p.add_argument("--nheads", type=int, default=1,
+                   help="number of attention heads (GAT)")
+    p.add_argument("--attn-dropout", type=float, default=0,
+                   help="attention dropout rate (GAT)")
     p.add_argument("--nhidden", type=int, default=64)
     p.add_argument("--nlayers", type=int, default=4)
     p.add_argument("--input-dropout", type=float, default=0)

@@ -109,7 +109,8 @@ def run_single(args, seed, split):
             norm=args.norm, readout_layers=args.readout_layers,
             readout_dropout=args.readout_dropout,
             jumping_knowledge=args.jumping_knowledge,
-            num_heads=args.nheads,
+            num_heads=args.nheads, attn_dropout=args.attn_dropout,
+            residual=args.residual,
         )
 
     return run_fullgraph_workload(
@@ -126,6 +127,9 @@ def main(argv=None):
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="ignored (device selection is automatic); accepted "
+                        "so reference commands run unchanged")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model", type=str, default="SIR",
                    choices=["SIR", "GAT"])

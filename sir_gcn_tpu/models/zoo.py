@@ -45,24 +45,35 @@ class GraphConv(nn.Module):
 
 
 class GATv2Conv(nn.Module):
-    """GATv2 (Brody et al.), DGL ``GATv2Conv`` with share_weights=True:
+    """GATv2 (Brody et al.), DGL ``GATv2Conv``:
     e_vu = a^T LeakyReLU(W h_u + W h_v), attention softmax over incoming
-    edges of u, h_u = sum_v alpha_vu W h_v. Returns [N, heads, out]."""
+    edges of u, h_u = sum_v alpha_vu W h_v. Returns [N, heads, out].
+
+    ``attn_dropout`` drops normalized attention weights (DGL attn_drop);
+    ``residual`` adds the input, projected by a bias-free linear when the
+    width differs from heads*out (DGL res_fc); ``use_bias`` controls the
+    fc/res projections' bias term (DGL bias)."""
 
     features: int
     num_heads: int = 1
     negative_slope: float = 0.2
     share_weights: bool = True
+    attn_dropout: float = 0.0
+    residual: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, graph: GraphBatch, feat: jax.Array,
-                 edge_mask: Optional[jax.Array] = None) -> jax.Array:
+                 edge_mask: Optional[jax.Array] = None, *,
+                 deterministic: bool = True) -> jax.Array:
         H, F = self.num_heads, self.features
-        fsrc = Linear(H * F, name="fc_src")(feat).reshape(-1, H, F)
+        fsrc = Linear(H * F, use_bias=self.use_bias,
+                      name="fc_src")(feat).reshape(-1, H, F)
         if self.share_weights:
             fdst = fsrc
         else:
-            fdst = Linear(H * F, name="fc_dst")(feat).reshape(-1, H, F)
+            fdst = Linear(H * F, use_bias=self.use_bias,
+                          name="fc_dst")(feat).reshape(-1, H, F)
         attn = self.param("attn", nn.initializers.variance_scaling(
             1.0 / 3.0, "fan_in", "uniform"), (H, F))
 
@@ -72,11 +83,21 @@ class GATv2Conv(nn.Module):
              + jnp.take(fsrc, graph.src, axis=0))      # [E, H, F]
         e = jnp.sum(nn.leaky_relu(z, self.negative_slope) * attn, -1)  # [E,H]
         alpha = segment.segment_softmax(e, graph.dst, graph.n_pad, valid)
+        alpha = nn.Dropout(self.attn_dropout,
+                           deterministic=deterministic)(alpha)
         msg = jnp.take(fsrc, graph.src, axis=0) * alpha[..., None]
         vmask = valid[:, None, None]
         msg = jnp.where(vmask, msg, 0.0)
-        return jax.ops.segment_sum(msg, graph.dst, graph.n_pad,
-                                   indices_are_sorted=True)
+        rst = jax.ops.segment_sum(msg, graph.dst, graph.n_pad,
+                                  indices_are_sorted=True)
+        if self.residual:
+            if feat.shape[-1] != H * F:
+                res = Linear(H * F, use_bias=self.use_bias,
+                             name="res_fc")(feat)
+            else:
+                res = feat
+            rst = rst + res.reshape(-1, H, F)
+        return rst
 
 
 class GINConv(nn.Module):

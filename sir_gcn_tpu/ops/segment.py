@@ -90,9 +90,14 @@ def segment_softmax(
     seg_max = jax.ops.segment_max(
         masked, segment_ids, num_segments, indices_are_sorted=True
     )
-    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-    shifted = data - jnp.take(seg_max, segment_ids, axis=0)
-    e = jnp.where(vmask, jnp.exp(shifted), 0.0)
+    # Segments that are empty (-inf) or all-invalid (== neg, still finite!)
+    # get max 0; the where BELOW must exclude invalid edges BEFORE exp, or
+    # exp overflows for them and its VJP turns inf * 0 into NaN (zero
+    # in-degree nodes / padding segments poisoned every gradient).
+    seg_max = jnp.where(seg_max > neg / 2, seg_max, 0.0)
+    shifted = jnp.where(
+        vmask, data - jnp.take(seg_max, segment_ids, axis=0), neg)
+    e = jnp.exp(shifted)  # exp(neg) == 0 for invalid edges
     denom = segment_sum(e, segment_ids, num_segments)
     denom = jnp.maximum(denom, jnp.finfo(data.dtype).tiny)
     return e / jnp.take(denom, segment_ids, axis=0)

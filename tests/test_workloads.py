@@ -123,3 +123,35 @@ def test_arxiv_reorder_equivalence(tmp_path, monkeypatch):
     pa = np.load(tmp_path / "a" / "output" / "teacher_0.npy")
     pb = np.load(tmp_path / "b" / "output" / "teacher_0.npy")
     np.testing.assert_allclose(pa, pb, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_molhiv_richer_variant_flags():
+    """Richer commented-variant surface (reference ogbg-molhiv
+    model.py:89-150): per-layer edge dropout, JK readouts, MLP residual,
+    centrality encoder, self-loops, bond-feature conv."""
+    from experiments.ogbg_molhiv.train import main
+
+    val, test = main(["--nhidden", "16", "--nlayers", "2",
+                      "--edge-dropout", "0.2", "--jumping-knowledge",
+                      "--readout-layers", "2", "--residual",
+                      "--resid-layers", "1", "--centrality-encoder",
+                      "--add-self-loop", "--use-edge-feats",
+                      "--epochs", "2", "--nruns", "1",
+                      "--log-every", "100", "--synthetic-samples", "80",
+                      "--batch-size", "32", "--gpu", "0"])
+    assert np.isfinite(test[0])
+
+
+@pytest.mark.slow
+def test_sbm_gat_baseline():
+    """GATv2 baseline on batched graphs (reference sbm model.py:55-92)."""
+    from experiments.sbm.train import main
+
+    val, test = main(["--model", "GAT", "--nheads", "2",
+                      "--attn-dropout", "0.1", "--residual",
+                      "--nhidden", "16", "--nlayers", "2",
+                      "--epochs", "2", "--nruns", "1",
+                      "--log-every", "100", "--synthetic-samples", "60",
+                      "--batch-size", "32"])
+    assert 0.0 <= test[0] <= 1.0

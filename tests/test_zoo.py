@@ -244,3 +244,42 @@ def test_pna_delta():
     d = pna_delta([np.array([1.0, 3.0]), np.array([0.0])])
     expected = np.mean(np.log([2.0, 4.0, 2.0]))
     np.testing.assert_allclose(d, expected, rtol=1e-6)
+
+
+def test_segment_softmax_grads_finite_with_empty_segments(rng):
+    """Regression: zero-in-degree nodes / all-invalid padding segments used
+    to poison the VJP (seg_max = finfo.min is finite, exp overflowed to inf
+    forward-masked to 0, and inf * 0 = NaN in backward) — which silently
+    NaN'd every GAT training run on graphs with isolated nodes."""
+    n, e = 6, 10
+    src = rng.integers(0, 3, e)   # nodes 3..5 have no in-edges
+    dst = rng.integers(0, 3, e)
+    g = build_graph(src, dst, n, n_pad=8, e_pad=32)  # padding segment too
+    logits = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+
+    def loss(lg):
+        return jnp.sum(segment_softmax(lg, g.dst, 8, g.edge_mask) ** 2)
+
+    grad = jax.grad(loss)(logits)
+    assert bool(jnp.isfinite(grad).all())
+
+
+def test_gatv2_training_grads_finite_isolated_nodes(rng):
+    """End-to-end: GATv2Conv gradients stay finite when some nodes have
+    zero in-degree (the arxiv reverse-edges graph shape)."""
+    n, e = 10, 20
+    src = rng.integers(0, 5, e)
+    dst = rng.integers(0, 5, e)
+    g = build_graph(src, dst, n, n_pad=16, e_pad=32)
+    x = jnp.asarray(rng.normal(size=(16, 4)), jnp.float32)
+    conv = GATv2Conv(3, num_heads=2, residual=True, attn_dropout=0.1)
+    params = conv.init(jax.random.PRNGKey(0), g, x)
+
+    def loss(p, x):
+        out = conv.apply(p, g, x, deterministic=False,
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(out ** 2)
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+    leaves = jax.tree_util.tree_leaves(gp) + [gx]
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
