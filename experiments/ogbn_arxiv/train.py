@@ -47,6 +47,27 @@ from experiments.ogbn_arxiv.model import GATModel, SIRModel
 
 MODELS = {"SIR": SIRModel, "GAT": GATModel}
 EPS = 1.0 - np.log(2.0)
+METRIC_KEYS = ("loss", "acc", "val_loss", "val_acc",
+               "test_loss", "test_acc")
+
+
+def _ckpt_payload(state, driver, best_val_loss, result, n_pad,
+                  num_classes):
+    """Everything needed for a bitwise-exact resume: train state, plateau
+    scheduler scalars, and the best-so-far selection (metrics + logits).
+    The framework improvement over the reference, which has no model
+    checkpointing at all (SURVEY §5)."""
+    pl = driver.plateau
+    best = np.array([result.get(k, 0.0) for k in METRIC_KEYS], np.float64)
+    logits = result.get("logits")
+    if logits is None:
+        logits = np.zeros((n_pad, num_classes), np.float32)
+    return {"state": state,
+            "plateau": np.array([pl.best, pl.num_bad, pl.scale],
+                                np.float64),
+            "best_val_loss": np.float64(best_val_loss),
+            "best_metrics": best,
+            "best_logits": np.asarray(logits, np.float32)}
 
 
 def build_arxiv_graph(data, args):
@@ -280,7 +301,39 @@ def run_single(args, seed: int, data, iter_idx: int):
     eval_unlabeled = jnp.asarray(
         np.clip(val_w + test_w, 0, 1) * graph_valid(n_pad, data))
 
-    for epoch in range(1, args.epochs + 1):
+    ckpt_dir = (os.path.join(args.ckpt_dir, f"run_{iter_idx}")
+                if args.ckpt_dir else None)
+    start_epoch = 1
+    if ckpt_dir and args.resume:
+        from sir_gcn_tpu.utils.checkpoint import (
+            latest_step,
+            load_checkpoint,
+        )
+
+        step = latest_step(ckpt_dir)
+        if step is not None:
+            target = _ckpt_payload(state, driver, np.inf, {}, n_pad,
+                                   num_classes)
+            r = load_checkpoint(ckpt_dir, target, step)
+            state = r["state"]
+            pb, pn, ps = np.asarray(r["plateau"])
+            driver.plateau.best = float(pb)
+            driver.plateau.num_bad = int(pn)
+            driver.plateau.scale = float(ps)
+            best_val_loss = float(r["best_val_loss"])
+            if np.isfinite(best_val_loss):
+                result = dict(zip(METRIC_KEYS,
+                                  map(float, np.asarray(r["best_metrics"]))))
+                result["logits"] = np.asarray(r["best_logits"])
+            start_epoch = step + 1
+            # fast-forward the host RNG and the PRNG key stream so the
+            # resumed run is bitwise-identical to an uninterrupted one
+            for _ in range(step):
+                host_rng.random(len(data.train_idx))
+                key, _ = jax.random.split(key)
+            print(f"Resumed from {ckpt_dir} at epoch {step}")
+
+    for epoch in range(start_epoch, args.epochs + 1):
         # mask-rate subsampling (train.py:107-108)
         sub = host_rng.random(len(data.train_idx)) < args.mask_rate
         tr_sub = data.train_idx[sub]
@@ -312,6 +365,13 @@ def run_single(args, seed: int, data, iter_idx: int):
         if metrics["val_loss"] < best_val_loss:
             best_val_loss = metrics["val_loss"]
             result = dict(metrics, logits=logits_np)
+
+        if ckpt_dir and args.ckpt_every and epoch % args.ckpt_every == 0:
+            from sir_gcn_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(ckpt_dir, _ckpt_payload(
+                state, driver, best_val_loss, result, n_pad,
+                num_classes), step=epoch)
 
         if driver.should_log(epoch):
             print(f"Epoch {epoch:04d} | loss: {metrics['loss']:.4f} | "
@@ -398,6 +458,14 @@ def get_args(argv=None):
     p.add_argument("--nruns", type=int, default=10)
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--save-pred", action="store_true")
+    p.add_argument("--ckpt-dir", type=str, default="",
+                   help="checkpoint directory (orbax; per-run subdirs); "
+                        "empty = no checkpointing")
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help="save a checkpoint every N epochs (0 = never)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume each run from its latest checkpoint "
+                        "(bitwise-exact continuation)")
     p.add_argument("--no-fast-path", action="store_true",
                    help="disable the ELL fast path (debugging)")
     p.add_argument("--reorder", action="store_true",

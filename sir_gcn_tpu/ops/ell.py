@@ -424,6 +424,28 @@ class FastGraph:
         return self.graph.out_deg
 
 
+def static_edge_scale(agg: str, src, dst, valid, in_deg, out_deg
+                      ) -> np.ndarray:
+    """Host-side canonical per-edge scale for one aggregation type
+    (f64 — the single source of truth shared by the single-device,
+    sharded and halo fast paths; matching ``message_passing`` semantics:
+    sum -> edge validity; mean -> validity / clamp(in_deg[dst], 1), the
+    division folded in; sym -> clamp-deg^-1/2 norms per conv.py:51-57)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    vf = np.asarray(valid, np.float64)
+    in_deg = np.asarray(in_deg, np.float64)
+    out_deg = np.asarray(out_deg, np.float64)
+    if agg == "sum":
+        return vf
+    if agg == "mean":
+        return vf / np.maximum(in_deg, 1.0)[dst]
+    if agg == "sym":
+        return vf * (np.maximum(out_deg, 1.0) ** -0.5)[src] * (
+            np.maximum(in_deg, 1.0) ** -0.5)[dst]
+    raise ValueError(f"unknown static scale agg {agg}")
+
+
 def build_fast_graph(graph: GraphBatch,
                      max_budget: int = MAX_BUDGET,
                      static_scales: tuple = ("sum", "mean", "sym"),
@@ -459,21 +481,9 @@ def build_fast_graph(graph: GraphBatch,
 
     dst_scales = src_scales = None
     if static_scales:
-        in_deg = np.asarray(graph.in_deg, np.float64)
-        out_deg = np.asarray(graph.out_deg, np.float64)
-        base = {}
-        vf = valid.astype(np.float64)
-        for agg in static_scales:
-            if agg == "sum":
-                base[agg] = vf
-            elif agg == "mean":
-                base[agg] = vf / np.maximum(in_deg[dst], 1.0)
-            elif agg == "sym":
-                base[agg] = vf * (
-                    np.maximum(out_deg, 1.0) ** -0.5)[src] * (
-                    np.maximum(in_deg, 1.0) ** -0.5)[dst]
-            else:
-                raise ValueError(f"unknown static scale agg {agg}")
+        base = {agg: static_edge_scale(agg, src, dst, valid,
+                                       graph.in_deg, graph.out_deg)
+                for agg in static_scales}
         dsv = np.asarray(dst_plan.slot_valid, np.float64)
         ssv = np.asarray(src_plan.slot_valid, np.float64)
         dst_scales = {
@@ -836,7 +846,9 @@ def make_ell_sir_aggregate_max(
         # recompute slot pre-activations and activations
         z = slot_pre(eq, ek, e)
         a = activation(z)
-        m = a @ w + b
+        m = a @ w
+        if b is not None:  # forward supports b=None; mirror it here
+            m = m + b
         # winner mask per (slot, o); ties split equally
         out_s = plan.spread(out)
         win = (jnp.abs(m - out_s) <= 0) & valid[:, None]
@@ -844,7 +856,7 @@ def make_ell_sir_aggregate_max(
         counts = plan.reduce_slots_sum(win)
         g_m = plan.spread(g / jnp.maximum(counts, 1.0)) * win
 
-        g_b = jnp.sum(g_m, axis=0)
+        g_b = jnp.sum(g_m, axis=0) if b is not None else None
         g_w = a.T @ g_m
         g_a = g_m @ w.T
         _, act_vjp = jax.vjp(activation, z)
@@ -891,31 +903,53 @@ def activation_pallas_compatible(act: Callable, h: int) -> bool:
     return _activation_info(act, h)[1]
 
 
+def _probe_inputs(h: int):
+    """Several probe points: structured ramp plus seeded random draws at
+    two magnitudes, so piecewise activations that happen to look diagonal
+    at one input are still caught (the probe is a heuristic — set
+    ``act.sir_elementwise = False`` to force the exact general path for
+    adversarial activations)."""
+    rng = np.random.default_rng(0)
+    return [
+        jnp.linspace(-2.0, 2.0, 2 * h, dtype=jnp.float32).reshape(2, h),
+        jnp.asarray(rng.normal(size=(2, h)), jnp.float32),
+        jnp.asarray(rng.normal(size=(2, h)) * 10.0, jnp.float32),
+    ]
+
+
+def _jac_is_diagonal(act: Callable, z: jax.Array) -> bool:
+    h = z.shape[1]
+    jac = np.asarray(jax.jacfwd(act)(z), np.float64)
+    if jac.shape != (2, h, 2, h):
+        return False
+    i = np.arange(2)[:, None]
+    j = np.arange(h)[None, :]
+    diag_mask = np.zeros(jac.shape, bool)
+    diag_mask[i, j, i, j] = True
+    off = np.abs(jac[~diag_mask]).max(initial=0.0)
+    return bool(off <= 1e-6 * max(np.abs(jac).max(initial=0.0), 1e-30))
+
+
 def _activation_info(act: Callable, h: int) -> tuple:
     key = (id(act), h)
     hit = _ELEMENTWISE_CACHE.get(key)
     # id() can be recycled after gc; revalidate with the stored ref.
     if hit is not None and hit[0] is act:
         return hit[1], hit[2]
-    z = jnp.linspace(-2.0, 2.0, 2 * h, dtype=jnp.float32).reshape(2, h)
-    try:
-        jac = np.asarray(jax.jacfwd(act)(z), np.float64)
-        elem = jac.shape == (2, h, 2, h)
-        if elem:
-            i = np.arange(2)[:, None]
-            j = np.arange(h)[None, :]
-            diag_mask = np.zeros(jac.shape, bool)
-            diag_mask[i, j, i, j] = True
-            off = np.abs(jac[~diag_mask]).max(initial=0.0)
-            elem = bool(
-                off <= 1e-6 * max(np.abs(jac).max(initial=0.0), 1e-30))
-    except Exception:
-        elem = False
+    probes = _probe_inputs(h)
+    override = getattr(act, "sir_elementwise", None)
+    if override is not None:
+        elem = bool(override)
+    else:
+        try:
+            elem = all(_jac_is_diagonal(act, z) for z in probes)
+        except Exception:
+            elem = False
     try:
         # Pallas kernels cannot capture jaxpr constants (arrays or traced
         # values closed over by sigma) — pallas_call raises "captures
         # constants [...]"; such activations go to the XLA ELL builder.
-        pallas_ok = not jax.make_jaxpr(act)(z).consts
+        pallas_ok = not jax.make_jaxpr(act)(probes[0]).consts
     except Exception:
         pallas_ok = False
     _ELEMENTWISE_CACHE[key] = (act, elem, pallas_ok)

@@ -121,11 +121,9 @@ def sir_aggregate(
         valid = g.edge_mask if edge_mask is None else jnp.logical_and(
             g.edge_mask, edge_mask)
         scale = valid.astype(eq.dtype)
-        if agg_type == "sym":
-            in_norm = jnp.power(jnp.maximum(g.in_deg, 1.0), -0.5)
-            out_norm = jnp.power(jnp.maximum(g.out_deg, 1.0), -0.5)
-            scale = scale * (jnp.take(out_norm, g.src)
-                             * jnp.take(in_norm, g.dst))
+        sym_scale = _edge_scale(g, agg_type)
+        if sym_scale is not None:
+            scale = scale * sym_scale
         out = ell_sir_aggregate(graph, eq, ek, activation, agg_type,
                                 e=e, edge_scale=scale)
         if agg_type == "mean":
@@ -137,6 +135,7 @@ def sir_aggregate(
     if isinstance(graph, FastGraph):  # max aggregation fast path
         from .ell import make_ell_sir_aggregate_max
 
+        assert w_relation is not None, "max aggregation needs W_R per edge"
         g = graph.graph
         valid = g.edge_mask if edge_mask is None else jnp.logical_and(
             g.edge_mask, edge_mask)

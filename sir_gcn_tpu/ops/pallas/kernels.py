@@ -265,6 +265,11 @@ def bucket_bcast_act_reduce_bwd(
 ):
     """Backward of :func:`bucket_bcast_act_reduce` (recompute-z scheme).
 
+    NOT on the production path anymore: the ELL backward now uses
+    ``bucket_geq_reduce`` + ``bucket_src_bwd`` (node-table-major; no
+    slot-sized permute). Kept — with direct unit coverage — as the
+    reference dst-major backward and for tools/ microbenchmarks.
+
     Returns (g_slots [R*B, H], g_eq_rows [R, H]) where
     g_slots = scale * act'(z) * g_rows[row]  (the cotangent of ekg, which
     the caller reduces by src via the mirrored plan) and

@@ -73,17 +73,11 @@ def build_sharded_fast_graph(
     src = np.asarray(graph.src, np.int64)
     dst = np.asarray(graph.dst, np.int64)
     valid = np.asarray(graph.edge_mask, bool)
-    in_deg = np.asarray(graph.in_deg)
-    out_deg = np.asarray(graph.out_deg)
 
-    if agg_type == "sym":
-        escale = (np.power(np.maximum(out_deg, 1.0), -0.5)[src]
-                  * np.power(np.maximum(in_deg, 1.0), -0.5)[dst])
-    elif agg_type == "mean":
-        escale = 1.0 / np.maximum(in_deg, 1.0)[dst]
-    else:
-        escale = np.ones_like(dst, np.float32)
-    escale = (escale * valid).astype(np.float32)
+    from ..ops.ell import static_edge_scale
+
+    escale = static_edge_scale(agg_type, src, dst, valid, graph.in_deg,
+                               graph.out_deg).astype(np.float32)
 
     # dst-sorted => shard s owns the contiguous edge slice with
     # dst in [s*n_local, (s+1)*n_local)

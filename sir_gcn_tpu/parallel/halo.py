@@ -125,17 +125,11 @@ def build_halo_fast_graph(
     src = np.asarray(graph.src, np.int64)
     dst = np.asarray(graph.dst, np.int64)
     valid = np.asarray(graph.edge_mask, bool)
-    in_deg = np.asarray(graph.in_deg)
-    out_deg = np.asarray(graph.out_deg)
 
-    if agg_type == "sym":
-        escale = (np.power(np.maximum(out_deg, 1.0), -0.5)[src]
-                  * np.power(np.maximum(in_deg, 1.0), -0.5)[dst])
-    elif agg_type == "mean":
-        escale = 1.0 / np.maximum(in_deg, 1.0)[dst]
-    else:
-        escale = np.ones_like(dst, np.float32)
-    escale = (escale * valid).astype(np.float32)
+    from ..ops.ell import static_edge_scale
+
+    escale = static_edge_scale(agg_type, src, dst, valid, graph.in_deg,
+                               graph.out_deg).astype(np.float32)
 
     bounds = np.searchsorted(dst, np.arange(S + 1) * n_local)
     e_max = _pad8(int((bounds[1:] - bounds[:-1]).max(initial=1)))
@@ -164,10 +158,10 @@ def build_halo_fast_graph(
     # ---- pass 2: per-shard plans + slot arrays ---------------------------
     dplans_i, dplans_b, splans_i, hplans, rplans = [], [], [], [], []
     ssl, ssh, sc_i, sc_b, send_all = [], [], [], [], []
+    halo_keys = []
     for r in range(S):
         lo, hi, src_g, dst_l, v_l, interior, boundary, owner = per_shard[r]
         n_e = hi - lo
-        esc_l = escale[lo:hi]
 
         # halo key per boundary edge: sender block * h_max + position
         halo_key = np.zeros(max(n_e, 1), np.int64)
@@ -177,6 +171,7 @@ def build_halo_fast_graph(
             sel = boundary & (owner == s)
             pos = np.searchsorted(uniq[(r, s)], src_g[sel])
             halo_key[np.nonzero(sel)[0]] = s * h_max + pos
+        halo_keys.append(halo_key)
 
         dpi = build_reduce_plan(dst_l, interior, n_local, max_budget,
                                 force_stage2=True)
@@ -223,15 +218,7 @@ def build_halo_fast_graph(
         ssl.append(_slot_values(dpi, src_g - r * n_local))
         sc_i.append(_slot_values(dpi, esc_l))
         sc_b.append(_slot_values(dpb, esc_l))
-
-        halo_key = np.zeros(max(n_e, 1), np.int64)
-        for s in range(S):
-            if (r, s) not in uniq:
-                continue
-            sel = boundary & (owner == s)
-            pos = np.searchsorted(uniq[(r, s)], src_g[sel])
-            halo_key[np.nonzero(sel)[0]] = s * h_max + pos
-        ssh.append(_slot_values(dpb, halo_key))
+        ssh.append(_slot_values(dpb, halo_keys[r]))
 
         e2d_i = _dst_slot_of_edge(dpi, n_e)
         e2d_b = _dst_slot_of_edge(dpb, n_e)

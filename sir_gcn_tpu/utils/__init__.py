@@ -1,2 +1,2 @@
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import latest_step, load_checkpoint, save_checkpoint
 from .profiling import StepTimer, profile_trace

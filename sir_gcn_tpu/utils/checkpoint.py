@@ -39,3 +39,14 @@ def load_checkpoint(path: str, target: Any,
             step = mgr.latest_step()
         return mgr.restore(step,
                            args=ocp.args.StandardRestore(target))
+
+
+def latest_step(path: str) -> Optional[int]:
+    """Latest saved step in a checkpoint dir, or None if none exist."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        return None
+    with ocp.CheckpointManager(path) as mgr:
+        return mgr.latest_step()

@@ -236,3 +236,58 @@ def test_dispatch_capturing_activation_falls_back_to_xla(rng):
     got = ell_sir_aggregate(fg, eq, ek, act, "sum", use_pallas=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_legacy_bwd_kernels_match_oracle(rng):
+    """Direct coverage for the benchmark-only kernels not on the
+    production path anymore (bucket_bcast_act_reduce_bwd,
+    bucket_scaled_reduce) so they don't rot silently."""
+    from sir_gcn_tpu.ops.pallas import (
+        bucket_bcast_act_reduce_bwd,
+        bucket_scaled_reduce,
+    )
+
+    R, B, H = 8, 4, 128
+    ekg = jnp.asarray(rng.normal(size=(R * B, H)), jnp.float32)
+    eq_rows = jnp.asarray(rng.normal(size=(R, H)), jnp.float32)
+    scale = jnp.asarray(rng.random((R, B)), jnp.float32)
+    g_rows = jnp.asarray(rng.normal(size=(R, H)), jnp.float32)
+
+    g_z, g_eq = bucket_bcast_act_reduce_bwd(
+        ekg, eq_rows, scale, g_rows, B, jnp.tanh, interpret=True)
+    z = ekg.reshape(R, B, H) + eq_rows[:, None, :]
+    want_gz = ((1 - jnp.tanh(z) ** 2)
+               * scale[:, :, None] * g_rows[:, None, :])
+    np.testing.assert_allclose(np.asarray(g_z),
+                               np.asarray(want_gz.reshape(R * B, H)),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_eq),
+                               np.asarray(want_gz.sum(axis=1)),
+                               atol=1e-4, rtol=1e-5)
+
+    rows = bucket_scaled_reduce(ekg, scale, B, interpret=True)
+    want = (ekg.reshape(R, B, H) * scale[:, :, None]).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(want),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_max_path_b_none_grads(rng):
+    """make_ell_sir_aggregate_max with b=None: forward supports it and
+    backward must too (regression: f_bwd crashed on a @ w + None)."""
+    import jax as _jax
+
+    from sir_gcn_tpu.ops.ell import make_ell_sir_aggregate_max
+
+    fg, g = make_fg(rng)
+    H, O = 8, 6
+    eq = jnp.asarray(rng.normal(size=(g.n_pad, H)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(g.n_pad, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(H, O)), jnp.float32)
+    scale = fg.edge_mask.astype(jnp.float32)
+    f = make_ell_sir_aggregate_max(fg, jnp.tanh)
+
+    def loss(eq, ek, w):
+        return jnp.sum(f(eq, ek, jnp.zeros((0,)), scale, w, None) ** 2)
+
+    grads = _jax.grad(loss, argnums=(0, 1, 2))(eq, ek, w)
+    assert all(bool(jnp.isfinite(x).all()) for x in grads)
