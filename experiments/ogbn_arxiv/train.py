@@ -74,7 +74,8 @@ def build_arxiv_graph(data, args):
     """Graph transforms exactly as load_dataset (reference train.py:42-55):
     bidirect or reverse, then optional self-loop refresh. On TPU the graph
     is wrapped with ELL fast-path plans (ops/ell.py) unless --no-fast-path
-    is given."""
+    is given. With --mesh-devices > 1 the padded node range is made
+    divisible by the mesh so the GSPMD edge partition is even."""
     src, dst = data.src, data.dst
     if args.add_reverse_edge:
         src, dst = to_bidirected(src, dst)
@@ -83,9 +84,11 @@ def build_arxiv_graph(data, args):
     if args.add_self_loop:
         src, dst = remove_self_loops(src, dst)
         src, dst = add_self_loops(src, dst, data.feat.shape[0])
-    graph = build_graph(src, dst, data.feat.shape[0], pad_multiple=128)
-    if getattr(args, "no_fast_path", False):
-        return graph
+    n_mesh = getattr(args, "mesh_devices", 0)
+    pad = 128 * n_mesh if n_mesh > 1 else 128
+    graph = build_graph(src, dst, data.feat.shape[0], pad_multiple=pad)
+    if n_mesh > 1 or getattr(args, "no_fast_path", False):
+        return graph  # GSPMD path partitions the plain CSR GraphBatch
     from sir_gcn_tpu.ops.ell import build_fast_graph
 
     return build_fast_graph(graph)
@@ -275,6 +278,24 @@ def run_single(args, seed: int, data, iter_idx: int):
     dummy = jnp.zeros((n_pad, input_dim), jnp.float32)
     key, ik = jax.random.split(key)
     variables = model.init(ik, graph, dummy)
+
+    feats_sharding = None
+    if args.mesh_devices > 1:
+        # Edge-partitioned full-graph training (SURVEY §2c P2): shard the
+        # dst-sorted CSR and all node-indexed arrays over a 'graph' mesh
+        # axis; GSPMD inserts the boundary all-gathers over ICI. Params
+        # replicated; owner-aggregates layout needs no output reduce.
+        from sir_gcn_tpu.parallel import make_mesh, shard_full_graph
+        from sir_gcn_tpu.parallel.full_graph import (
+            node_sharding,
+            replicated,
+        )
+
+        mesh = make_mesh((args.mesh_devices,), ("graph",))
+        graph = shard_full_graph(graph, mesh)
+        feats_sharding = node_sharding(mesh)
+        variables = jax.device_put(variables, replicated(mesh))
+
     tx = make_adamw(args.lr, args.wd)
     state = init_state(variables, tx)
     print(f"Params: {param_count(state.params)}")
@@ -289,8 +310,12 @@ def run_single(args, seed: int, data, iter_idx: int):
                 [teacher[perm], teacher[len(perm):]], 0)
         kd_teacher = jnp.asarray(teacher)
 
-    feats_j = jnp.asarray(feats)
-    labels_j = jnp.asarray(labels)
+    if feats_sharding is not None:
+        feats_j = jax.device_put(jnp.asarray(feats), feats_sharding)
+        labels_j = jax.device_put(jnp.asarray(labels), feats_sharding)
+    else:
+        feats_j = jnp.asarray(feats)
+        labels_j = jnp.asarray(labels)
     driver = EpochDriver(epochs=args.epochs, warmup=20, factor=args.factor,
                          patience=args.patience, log_every=args.log_every)
     host_rng = np.random.default_rng(seed + 999)
@@ -468,6 +493,10 @@ def get_args(argv=None):
                         "(bitwise-exact continuation)")
     p.add_argument("--no-fast-path", action="store_true",
                    help="disable the ELL fast path (debugging)")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="edge-partition the full graph over this many "
+                        "devices on a 'graph' mesh axis (GSPMD; SURVEY "
+                        "§2c P2); 0/1 = single device")
     p.add_argument("--reorder", action="store_true",
                    help="RCM-relabel nodes for src-gather locality "
                         "(TPU perf; training is equivariant)")

@@ -130,3 +130,17 @@ def test_data_parallel_step(rng):
                     jax.tree_util.tree_leaves(manual)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_arxiv_mesh_devices_matches_single_device():
+    """--mesh-devices (GSPMD edge-partitioned full-graph training from the
+    harness CLI, SURVEY §2c P2) matches the single-device CSR path."""
+    from experiments.ogbn_arxiv.train import main
+
+    common = ["--epochs", "2", "--nruns", "1", "--nhidden", "12",
+              "--nlayers", "2", "--log-every", "100",
+              "--synthetic-nodes", "1000", "--synthetic-edges", "6000"]
+    val_1, test_1 = main(common + ["--no-fast-path"])
+    val_8, test_8 = main(common + ["--mesh-devices", "8"])
+    assert abs(test_8[0] - test_1[0]) < 1e-6
+    assert abs(val_8[0] - val_1[0]) < 1e-6
