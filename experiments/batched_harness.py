@@ -99,6 +99,33 @@ def run_batched_workload(
         return state.replace(params=params, opt_state=opt_state,
                              batch_stats=bs), loss
 
+    dp = int(getattr(args, "dp_devices", 0) or 0)
+    dp_step = None
+    if dp > 1:
+        # SURVEY §2c P1: per-device graph buckets, psum'd gradients over
+        # the 'data' mesh axis; batch_stats pmean-synced. The remainder
+        # (< dp batches at epoch end) runs the single-device step.
+        from sir_gcn_tpu.parallel import make_mesh
+        from sir_gcn_tpu.parallel.data_parallel import (
+            make_dp_train_step_stateful,
+            stack_device_batches,
+        )
+
+        dp_mesh = make_mesh((dp,), ("data",),
+                            devices=jax.devices()[:dp])
+
+        def dp_loss(params, batch_stats, batch, rng):
+            preds, bs = forward(params, batch_stats, batch, False, rng)
+            if node_level:
+                loss = loss_fn(preds, batch["node_labels"],
+                               batch["node_weights"])
+            else:
+                loss = loss_fn(preds, batch["labels"],
+                               batch["graph_weights"])
+            return loss + l1_l2_regularizer(params, l1, l2), bs
+
+        dp_step = make_dp_train_step_stateful(dp_loss, tx, dp_mesh)
+
     @jax.jit
     def eval_step(state, batch):
         preds, _ = forward(state.params, state.batch_stats, batch, True,
@@ -148,10 +175,28 @@ def run_batched_workload(
         (lambda a, b: a > b)
 
     for epoch in range(1, args.epochs + 1):
-        for b in prefetch(coll.loader(np.asarray(train_idx), batch_size,
-                                      shuffle_rng)):
-            key, sk = jax.random.split(key)
-            state, _ = train_step(state, sk, to_device(b))
+        if dp_step is not None:
+            group = []
+            for b in prefetch(coll.loader(np.asarray(train_idx),
+                                          batch_size, shuffle_rng)):
+                group.append(to_device(b))
+                if len(group) == dp:
+                    key, sk = jax.random.split(key)
+                    p, o, bs, _ = dp_step(
+                        state.params, state.opt_state, state.batch_stats,
+                        stack_device_batches(group),
+                        jax.random.split(sk, dp))
+                    state = state.replace(params=p, opt_state=o,
+                                          batch_stats=bs)
+                    group = []
+            for db in group:  # remainder: single-device step
+                key, sk = jax.random.split(key)
+                state, _ = train_step(state, sk, db)
+        else:
+            for b in prefetch(coll.loader(np.asarray(train_idx),
+                                          batch_size, shuffle_rng)):
+                key, sk = jax.random.split(key)
+                state, _ = train_step(state, sk, to_device(b))
 
         loss, metric = evaluate(train_idx)
         if val_idx is not None:

@@ -132,6 +132,9 @@ def main(argv=None):
     p.add_argument("--add-self-loop", action="store_true")
     p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--dp-devices", type=int, default=0,
+                   help="data-parallel devices on a 'data' mesh axis "
+                        "(0/1 = single device)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--wd", type=float, default=0)
     p.add_argument("--l1", type=float, default=0)

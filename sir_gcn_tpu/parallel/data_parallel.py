@@ -63,6 +63,41 @@ def make_dp_train_step(
     return jax.jit(_step)
 
 
+def make_dp_train_step_stateful(
+    loss_fn: Callable,
+    tx,
+    mesh: Mesh,
+    data_axis: str = "data",
+):
+    """Data-parallel train step that also carries mutable model state
+    (BatchNorm ``batch_stats``): ``loss_fn(params, batch_stats, batch,
+    rng) -> (loss, new_batch_stats)``. Gradients, loss AND the updated
+    batch statistics are pmean-synced over ``data_axis`` (the standard
+    cross-replica BatchNorm treatment)."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(data_axis), P(data_axis)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def _step(params, opt_state, batch_stats, batch, rng):
+        local = _unstack(batch)
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, local, rng[0]
+        )
+        loss = jax.lax.pmean(loss, data_axis)
+        grads = jax.lax.pmean(grads, data_axis)
+        bs = jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, data_axis), bs)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, bs, loss
+
+    return jax.jit(_step)
+
+
 def device_put_replicated(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)

@@ -144,3 +144,15 @@ def test_arxiv_mesh_devices_matches_single_device():
     val_8, test_8 = main(common + ["--mesh-devices", "8"])
     assert abs(test_8[0] - test_1[0]) < 1e-6
     assert abs(val_8[0] - val_1[0]) < 1e-6
+
+
+def test_zinc_dp_devices_trains():
+    """--dp-devices on a batched harness (SURVEY §2c P1 from the CLI):
+    per-device batches, psum'd grads, pmean'd BatchNorm stats."""
+    from experiments.zinc.train import main
+
+    val, test = main(["--dp-devices", "4", "--epochs", "2", "--nruns",
+                      "1", "--nhidden", "12", "--nlayers", "1",
+                      "--norm", "bn", "--synthetic-samples", "80",
+                      "--batch-size", "8", "--log-every", "100"])
+    assert np.isfinite(test[0])
