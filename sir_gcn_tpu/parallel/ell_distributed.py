@@ -45,6 +45,10 @@ class ShardedFastGraph:
     slot_srcnode: jax.Array       # [S, S1] global src id per dst slot
     src_from_dst_slot: jax.Array  # [S, S1s] dst-slot index per src slot
     slot_scale: jax.Array         # [S, S1] static scale (sym/mean/valid)
+    # node-table-major backward (Pallas variant): LOCAL dst id and static
+    # scale per SRC slot
+    src_slot_dstnode: jax.Array   # [S, S1s]
+    src_slot_scale: jax.Array     # [S, S1s]
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     n_local: int = dataclasses.field(metadata=dict(static=True))
 
@@ -115,8 +119,12 @@ def build_sharded_fast_graph(
                      for s in range(n_shards)]
     esc_per_shard = [escale[int(bounds[s]):int(bounds[s + 1])]
                      for s in range(n_shards)]
+    dstl_per_shard = [dst[int(bounds[s]):int(bounds[s + 1])] - s * n_local
+                      for s in range(n_shards)]
     slot_srcnode = regather(dplans, src_per_shard)
     slot_scale = regather(dplans, esc_per_shard)
+    src_slot_dstnode = regather(splans, dstl_per_shard)
+    src_slot_scale = regather(splans, esc_per_shard)
 
     # dst-slot index per src slot, in harmonized layouts
     d2s = []
@@ -139,6 +147,8 @@ def build_sharded_fast_graph(
         slot_srcnode=jnp.asarray(slot_srcnode, jnp.int32),
         src_from_dst_slot=jnp.asarray(np.stack(d2s), jnp.int32),
         slot_scale=jnp.asarray(slot_scale),
+        src_slot_dstnode=jnp.asarray(src_slot_dstnode, jnp.int32),
+        src_slot_scale=jnp.asarray(src_slot_scale),
         n_shards=n_shards,
         n_local=n_local,
     )
@@ -153,11 +163,26 @@ def make_sharded_sir_aggregate(
     activation: Callable[[jax.Array], jax.Array],
     mesh: Mesh,
     axis: str = "graph",
+    use_pallas: bool = None,
 ):
     """Build ``f(eq_sharded, ek_sharded) -> out_sharded`` (all [N_pad, H]
     row-sharded over ``axis``) with a hand-written scatter-free backward:
     all_gather forward, psum_scatter of per-shard src-keyed partials
-    backward."""
+    backward.
+
+    ``use_pallas=None`` auto-selects the fused-kernel variant
+    (:func:`make_sharded_sir_aggregate_pallas`) on TPU for elementwise,
+    closure-free activations — giving each shard the same per-chip kernel
+    quality as the single-device fast path."""
+    if use_pallas is None:
+        from ..ops.ell import _activation_info
+        from ..ops.pallas import pallas_available
+
+        elem, ok = _activation_info(activation, 16)
+        use_pallas = pallas_available() and elem and ok
+    if use_pallas:
+        return make_sharded_sir_aggregate_pallas(sfg, activation, mesh,
+                                                 axis)
     S = sfg.n_shards
     node_spec = P(axis)
     plan_spec = jax.tree_util.tree_map(lambda _: P(axis), sfg)
@@ -206,6 +231,100 @@ def make_sharded_sir_aggregate(
     def f_bwd(res, g):
         eq, ek = res
         return bwd_sm(g, eq, ek, sfg)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def make_sharded_sir_aggregate_pallas(
+    sfg: ShardedFastGraph,
+    activation: Callable[[jax.Array], jax.Array],
+    mesh: Mesh,
+    axis: str = "graph",
+    edge_dtype=None,
+    interpret: bool = False,
+):
+    """Fused-kernel variant of :func:`make_sharded_sir_aggregate` for
+    ELEMENTWISE activations: each shard's local compute runs the same
+    Pallas bucket kernels as the single-device fast path (dual-output
+    forward emitting the derivative-mass sbar, node-table-major src-major
+    backward), so per-chip throughput matches the single-chip path while
+    the collectives stay all_gather (fwd) / psum_scatter (bwd).
+    ``edge_dtype=None`` follows the global ``set_edge_dtype`` setting."""
+    from ..ops.ell import _bucket_offsets
+    from ..ops.message_passing import get_edge_dtype
+    from ..ops.pallas import bucket_bcast_act_reduce2, bucket_src_bwd
+
+    if edge_dtype is None:
+        edge_dtype = get_edge_dtype()
+    node_spec = P(axis)
+    plan_spec = jax.tree_util.tree_map(lambda _: P(axis), sfg)
+    offs_d = _bucket_offsets(sfg.dst_plan.buckets1)
+    offs_s = _bucket_offsets(sfg.src_plan.buckets1)
+
+    def cast(x):
+        return x.astype(edge_dtype) if edge_dtype is not None else x
+
+    def cat(xs):
+        return jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+
+    def local_fwd2(eq_l, ek_l, sfg_l):
+        dplan = _unstack_plan(sfg_l.dst_plan)
+        ek_full = jax.lax.all_gather(ek_l, axis, axis=0, tiled=True)
+        ekg = jnp.take(cast(ek_full), sfg_l.slot_srcnode[0], axis=0)
+        eq_rows = jnp.take(eq_l, dplan.row_key, axis=0)
+        s = sfg_l.slot_scale[0].astype(jnp.float32)
+        rows, srows = [], []
+        for b, nr, so, ro in offs_d:
+            r, sr = bucket_bcast_act_reduce2(
+                ekg[so:so + b * nr], eq_rows[ro:ro + nr],
+                s[so:so + b * nr].reshape(nr, b), b, activation,
+                interpret=interpret)
+            rows.append(r)
+            srows.append(sr)
+        return (dplan.finalize_rows_sum(cat(rows)),
+                dplan.finalize_rows_sum(cat(srows)))
+
+    def local_bwd(g_l, eq_l, ek_l, sfg_l):
+        splan = _unstack_plan(sfg_l.src_plan)
+        eqg = jnp.take(cast(eq_l), sfg_l.src_slot_dstnode[0], axis=0)
+        gg = jnp.take(cast(g_l), sfg_l.src_slot_dstnode[0], axis=0)
+        ek_full = jax.lax.all_gather(ek_l, axis, axis=0, tiled=True)
+        ek_rows = jnp.take(ek_full, splan.row_key, axis=0)
+        s = sfg_l.src_slot_scale[0].astype(jnp.float32)
+        rows = []
+        for b, nr, so, ro in offs_s:
+            r, _ = bucket_src_bwd(
+                eqg[so:so + b * nr], ek_rows[ro:ro + nr],
+                s[so:so + b * nr].reshape(nr, b),
+                gg[so:so + b * nr], b, activation, interpret=interpret)
+            rows.append(r)
+        g_ek_full = splan.finalize_rows_sum(cat(rows))
+        return jax.lax.psum_scatter(g_ek_full, axis, scatter_dimension=0,
+                                    tiled=True)
+
+    fwd2_sm = jax.jit(shard_map(
+        local_fwd2, mesh=mesh,
+        in_specs=(node_spec, node_spec, plan_spec),
+        out_specs=(node_spec, node_spec), check_vma=False))
+    bwd_sm = jax.jit(shard_map(
+        local_bwd, mesh=mesh,
+        in_specs=(node_spec, node_spec, node_spec, plan_spec),
+        out_specs=node_spec, check_vma=False))
+
+    @jax.custom_vjp
+    def f(eq, ek):
+        return fwd2_sm(eq, ek, sfg)[0]
+
+    def f_fwd(eq, ek):
+        out, sbar = fwd2_sm(eq, ek, sfg)
+        return out, (eq, ek, sbar)
+
+    def f_bwd(res, g):
+        eq, ek, sbar = res
+        g_eq = g * sbar  # dst-side cotangent factorizes (elementwise act)
+        g_ek = bwd_sm(g, eq, ek, sfg)
+        return g_eq, g_ek
 
     f.defvjp(f_fwd, f_bwd)
     return f
