@@ -73,6 +73,12 @@ class HaloFastGraph:
     scale_b: jax.Array            # [S, S1b]
     src_from_dst_i: jax.Array     # [S, Ssi] interior dst-slot per src slot
     src_from_dst_b: jax.Array     # [S, Shb] boundary dst-slot per halo slot
+    # node-table-major backward (Pallas variant): local dst id and static
+    # scale laid out in src-plan / halo-plan slot order
+    src_dstnode_i: jax.Array      # [S, Ssi]
+    src_scale_i: jax.Array        # [S, Ssi]
+    halo_dstnode: jax.Array       # [S, Shb]
+    halo_scale: jax.Array         # [S, Shb]
     send_idx: jax.Array           # [S, S*Hmax] local rows to send
     edge_slice_idx: jax.Array     # [S, Emax] global edge id per local slot
     edge_slice_valid: jax.Array   # [S, Emax] 0/1
@@ -207,6 +213,7 @@ def build_halo_fast_graph(
     rplans = harmonize_reduce_plans(rplans)
 
     sfd_i, sfd_b = [], []
+    sdn_i, ssc_i, hdn, hsc = [], [], [], []
     eidx, evalid = [], []
     for r in range(S):
         lo, hi, src_g, dst_l, v_l, interior, boundary, owner = per_shard[r]
@@ -224,6 +231,10 @@ def build_halo_fast_graph(
         e2d_b = _dst_slot_of_edge(dpb, n_e)
         sfd_i.append(_slot_values(spi, e2d_i))
         sfd_b.append(_slot_values(hp, e2d_b))
+        sdn_i.append(_slot_values(spi, dst_l))
+        ssc_i.append(_slot_values(spi, esc_l))
+        hdn.append(_slot_values(hp, dst_l))
+        hsc.append(_slot_values(hp, esc_l))
 
         idx = np.minimum(lo + np.arange(e_max), graph.e_pad - 1)
         eidx.append(idx)
@@ -241,6 +252,10 @@ def build_halo_fast_graph(
         scale_b=jnp.asarray(np.stack(sc_b)),
         src_from_dst_i=jnp.asarray(np.stack(sfd_i), jnp.int32),
         src_from_dst_b=jnp.asarray(np.stack(sfd_b), jnp.int32),
+        src_dstnode_i=jnp.asarray(np.stack(sdn_i), jnp.int32),
+        src_scale_i=jnp.asarray(np.stack(ssc_i)),
+        halo_dstnode=jnp.asarray(np.stack(hdn), jnp.int32),
+        halo_scale=jnp.asarray(np.stack(hsc)),
         send_idx=jnp.asarray(np.stack(send_all), jnp.int32),
         edge_slice_idx=jnp.asarray(np.stack(eidx), jnp.int32),
         edge_slice_valid=jnp.asarray(np.stack(evalid)),
@@ -259,8 +274,13 @@ def make_halo_sir_aggregate(
     mesh: Mesh,
     axis: str = "graph",
     dynamic_scale: bool = False,
+    use_pallas: bool = None,
 ):
     """Build ``f(eq, ek[, edge_scale]) -> out`` over the halo fast path.
+
+    ``use_pallas=None`` auto-selects the fused-kernel variant
+    (:func:`make_halo_sir_aggregate_pallas`) on TPU for elementwise,
+    closure-free activations.
 
     eq/ek/out are [N_pad, H] row-sharded over ``axis``. With
     ``dynamic_scale=True`` the third argument is the same [E_pad]
@@ -270,6 +290,15 @@ def make_halo_sir_aggregate(
     :func:`halo_counts`). Differentiable wrt eq/ek; scale is
     non-differentiable (degree/mask-derived in every caller).
     """
+    if use_pallas is None:
+        from ..ops.ell import _activation_info
+        from ..ops.pallas import pallas_available
+
+        elem, ok = _activation_info(activation, 16)
+        use_pallas = pallas_available() and elem and ok
+    if use_pallas:
+        return make_halo_sir_aggregate_pallas(
+            hfg, activation, mesh, axis, dynamic_scale=dynamic_scale)
     S, Hm = hfg.n_shards, hfg.h_max
     node_spec = P(axis)
     plan_spec = jax.tree_util.tree_map(lambda _: P(axis), hfg)
@@ -378,6 +407,168 @@ def make_halo_sir_aggregate(
         def f_bwd(res, g):
             eq, ek = res
             return bwd_sm(g, eq, ek, dummy, hfg)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def make_halo_sir_aggregate_pallas(
+    hfg: HaloFastGraph,
+    activation: Callable[[jax.Array], jax.Array],
+    mesh: Mesh,
+    axis: str = "graph",
+    dynamic_scale: bool = False,
+    edge_dtype=None,
+    interpret: bool = False,
+):
+    """Fused-kernel variant of :func:`make_halo_sir_aggregate` for
+    ELEMENTWISE activations: interior and boundary stages run the same
+    Pallas bucket kernels as the single-device fast path (dual-output
+    forward emitting the derivative-mass sbar -> g_eq is a node-sized
+    multiply; node-table-major src-major backward reducing straight into
+    the src plan / halo table). Comms stay exactly as the XLA variant:
+    one all_to_all of boundary rows forward, one cotangent all_to_all
+    back. ``edge_dtype=None`` follows the global ``set_edge_dtype``."""
+    from ..ops.ell import _bucket_offsets
+    from ..ops.message_passing import get_edge_dtype
+    from ..ops.pallas import bucket_bcast_act_reduce2, bucket_src_bwd
+
+    if edge_dtype is None:
+        edge_dtype = get_edge_dtype()
+    S, Hm = hfg.n_shards, hfg.h_max
+    node_spec = P(axis)
+    plan_spec = jax.tree_util.tree_map(lambda _: P(axis), hfg)
+    offs_di = _bucket_offsets(hfg.dst_plan_i.buckets1)
+    offs_db = _bucket_offsets(hfg.dst_plan_b.buckets1)
+    offs_si = _bucket_offsets(hfg.src_plan_i.buckets1)
+    offs_hp = _bucket_offsets(hfg.halo_plan.buckets1)
+
+    def cast(x):
+        return x.astype(edge_dtype) if edge_dtype is not None else x
+
+    def cat(xs):
+        return jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+
+    def exchange(ek_l, hfg_l):
+        send = jnp.take(ek_l, hfg_l.send_idx[0], axis=0)
+        return jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                                  tiled=True)
+
+    def fwd_scales(scale_l, hfg_l, dpi, dpb):
+        if dynamic_scale:
+            return (dpi.gather_edges(scale_l) * dpi.slot_valid,
+                    dpb.gather_edges(scale_l) * dpb.slot_valid)
+        return (hfg_l.scale_i[0].astype(jnp.float32),
+                hfg_l.scale_b[0].astype(jnp.float32))
+
+    def stage2(ekg, eq_rows, s, offs, plan):
+        rows, srows = [], []
+        for b, nr, so, ro in offs:
+            r, sr = bucket_bcast_act_reduce2(
+                ekg[so:so + b * nr], eq_rows[ro:ro + nr],
+                s[so:so + b * nr].reshape(nr, b), b, activation,
+                interpret=interpret)
+            rows.append(r)
+            srows.append(sr)
+        return plan.finalize_rows_sum(cat(rows)), \
+            plan.finalize_rows_sum(cat(srows))
+
+    def local_fwd2(eq_l, ek_l, scale_l, hfg_l):
+        dpi = _unstack_plan(hfg_l.dst_plan_i)
+        dpb = _unstack_plan(hfg_l.dst_plan_b)
+        s_i, s_b = fwd_scales(scale_l, hfg_l, dpi, dpb)
+        halo = exchange(ek_l, hfg_l)
+        # interior stage has no dependency on the collective -> overlaps
+        ekg_i = jnp.take(cast(ek_l), hfg_l.slot_src_local[0], axis=0)
+        out_i, sb_i = stage2(ekg_i, jnp.take(eq_l, dpi.row_key, axis=0),
+                             s_i, offs_di, dpi)
+        ekg_b = jnp.take(cast(halo), hfg_l.slot_src_halo[0], axis=0)
+        out_b, sb_b = stage2(ekg_b, jnp.take(eq_l, dpb.row_key, axis=0),
+                             s_b, offs_db, dpb)
+        return out_i + out_b, sb_i + sb_b
+
+    def src_stage(eqg, rows_tbl, s, gg, offs, plan):
+        rows = []
+        for b, nr, so, ro in offs:
+            r, _ = bucket_src_bwd(
+                eqg[so:so + b * nr], rows_tbl[ro:ro + nr],
+                s[so:so + b * nr].reshape(nr, b),
+                gg[so:so + b * nr], b, activation, interpret=interpret)
+            rows.append(r)
+        return plan.finalize_rows_sum(cat(rows))
+
+    def local_bwd(g_l, eq_l, ek_l, scale_l, hfg_l):
+        spi = _unstack_plan(hfg_l.src_plan_i)
+        hp = _unstack_plan(hfg_l.halo_plan)
+        rp = _unstack_plan(hfg_l.ret_plan)
+        if dynamic_scale:
+            s_si = spi.gather_edges(scale_l) * spi.slot_valid
+            s_hp = hp.gather_edges(scale_l) * hp.slot_valid
+        else:
+            s_si = hfg_l.src_scale_i[0].astype(jnp.float32)
+            s_hp = hfg_l.halo_scale[0].astype(jnp.float32)
+        halo = exchange(ek_l, hfg_l)
+
+        # interior: z = eq[dst_e] + ek_l[src rows], reduce by local src
+        eqg = jnp.take(cast(eq_l), hfg_l.src_dstnode_i[0], axis=0)
+        gg = jnp.take(cast(g_l), hfg_l.src_dstnode_i[0], axis=0)
+        g_ek = src_stage(eqg, jnp.take(ek_l, spi.row_key, axis=0),
+                         s_si, gg, offs_si, spi)
+
+        # boundary: z = eq[dst_e] + halo[key rows], reduce into the halo
+        # table, return cotangent blocks to their senders
+        eqg_b = jnp.take(cast(eq_l), hfg_l.halo_dstnode[0], axis=0)
+        gg_b = jnp.take(cast(g_l), hfg_l.halo_dstnode[0], axis=0)
+        g_halo = src_stage(eqg_b, jnp.take(halo, hp.row_key, axis=0),
+                           s_hp, gg_b, offs_hp, hp)
+        ret = jax.lax.all_to_all(g_halo, axis, split_axis=0,
+                                 concat_axis=0, tiled=True)
+        return g_ek + rp.reduce_slots_sum(
+            rp.gather_edges(ret) * rp.slot_valid[:, None])
+
+    fwd2_sm = jax.jit(shard_map(
+        local_fwd2, mesh=mesh,
+        in_specs=(node_spec, node_spec, node_spec, plan_spec),
+        out_specs=(node_spec, node_spec), check_vma=False))
+    bwd_sm = jax.jit(shard_map(
+        local_bwd, mesh=mesh,
+        in_specs=(node_spec, node_spec, node_spec, node_spec, plan_spec),
+        out_specs=node_spec, check_vma=False))
+
+    def to_shard_scale(edge_scale):
+        s = (jnp.take(edge_scale, hfg.edge_slice_idx.reshape(-1))
+             .reshape(S, hfg.e_max) * hfg.edge_slice_valid)
+        return s.reshape(S * hfg.e_max)
+
+    if dynamic_scale:
+        @jax.custom_vjp
+        def f(eq, ek, edge_scale):
+            return fwd2_sm(eq, ek, to_shard_scale(edge_scale), hfg)[0]
+
+        def f_fwd(eq, ek, edge_scale):
+            s = to_shard_scale(edge_scale)
+            out, sbar = fwd2_sm(eq, ek, s, hfg)
+            return out, (eq, ek, s, sbar)
+
+        def f_bwd(res, g):
+            eq, ek, s, sbar = res
+            g_eq = g * sbar
+            g_ek = bwd_sm(g, eq, ek, s, hfg)
+            return g_eq, g_ek, jnp.zeros((hfg.e_pad,), s.dtype)
+    else:
+        dummy = jnp.zeros((S * hfg.e_max,), jnp.float32)
+
+        @jax.custom_vjp
+        def f(eq, ek):
+            return fwd2_sm(eq, ek, dummy, hfg)[0]
+
+        def f_fwd(eq, ek):
+            out, sbar = fwd2_sm(eq, ek, dummy, hfg)
+            return out, (eq, ek, sbar)
+
+        def f_bwd(res, g):
+            eq, ek, sbar = res
+            return g * sbar, bwd_sm(g, eq, ek, dummy, hfg)
 
     f.defvjp(f_fwd, f_bwd)
     return f
