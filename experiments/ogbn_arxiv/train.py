@@ -274,26 +274,36 @@ def run_single(args, seed: int, data, iter_idx: int):
            {"num_heads": args.nheads, "attn_dropout": args.attn_dropout,
             "residual": args.residual}),
     )
-    input_dim = feats.shape[1] + (num_classes if args.use_labels else 0)
-    dummy = jnp.zeros((n_pad, input_dim), jnp.float32)
-    key, ik = jax.random.split(key)
-    variables = model.init(ik, graph, dummy)
-
     feats_sharding = None
     if args.mesh_devices > 1:
-        # Edge-partitioned full-graph training (SURVEY §2c P2): shard the
-        # dst-sorted CSR and all node-indexed arrays over a 'graph' mesh
-        # axis; GSPMD inserts the boundary all-gathers over ICI. Params
-        # replicated; owner-aggregates layout needs no output reduce.
+        # Edge-partitioned full-graph training (SURVEY §2c P2) over a
+        # 'graph' mesh axis. --dist-path gspmd shards the dst-sorted CSR
+        # and lets GSPMD insert the boundary all-gathers; --dist-path
+        # halo uses the boundary-only all_to_all fast path (Pallas local
+        # compute on TPU) via the HaloGraph sir_aggregate dispatch.
         from sir_gcn_tpu.parallel import make_mesh, shard_full_graph
         from sir_gcn_tpu.parallel.full_graph import (
             node_sharding,
             replicated,
         )
 
-        mesh = make_mesh((args.mesh_devices,), ("graph",))
-        graph = shard_full_graph(graph, mesh)
+        mesh = make_mesh((args.mesh_devices,), ("graph",),
+                         devices=jax.devices()[:args.mesh_devices])
+        if args.dist_path == "halo":
+            assert args.model == "SIR", "--dist-path halo needs SIR"
+            from sir_gcn_tpu.parallel.halo import build_halo_graph
+
+            graph = build_halo_graph(graph, args.mesh_devices, mesh,
+                                     agg_type=args.agg_type)
+        else:
+            graph = shard_full_graph(graph, mesh)
         feats_sharding = node_sharding(mesh)
+
+    input_dim = feats.shape[1] + (num_classes if args.use_labels else 0)
+    dummy = jnp.zeros((n_pad, input_dim), jnp.float32)
+    key, ik = jax.random.split(key)
+    variables = model.init(ik, graph, dummy)
+    if feats_sharding is not None:
         variables = jax.device_put(variables, replicated(mesh))
 
     tx = make_adamw(args.lr, args.wd)
@@ -495,8 +505,12 @@ def get_args(argv=None):
                    help="disable the ELL fast path (debugging)")
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="edge-partition the full graph over this many "
-                        "devices on a 'graph' mesh axis (GSPMD; SURVEY "
-                        "§2c P2); 0/1 = single device")
+                        "devices on a 'graph' mesh axis (SURVEY §2c P2); "
+                        "0/1 = single device")
+    p.add_argument("--dist-path", type=str, default="halo",
+                   choices=["halo", "gspmd"],
+                   help="multi-device path: boundary-only halo exchange "
+                        "fast path, or GSPMD-partitioned CSR")
     p.add_argument("--reorder", action="store_true",
                    help="RCM-relabel nodes for src-gather locality "
                         "(TPU perf; training is equivariant)")

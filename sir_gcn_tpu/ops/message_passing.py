@@ -107,6 +107,12 @@ def sir_aggregate(
     if agg_type not in ("sum", "mean", "max", "sym"):
         raise NotImplementedError(f"agg_type = {agg_type} not implemented")
 
+    if type(graph).__name__ == "HaloGraph":  # lazy: avoid import cycle
+        from ..parallel.halo import halo_sir_aggregate
+
+        return halo_sir_aggregate(graph, eq, ek, activation, agg_type,
+                                  edge_mask=edge_mask)
+
     from .ell import FastGraph, ell_sir_aggregate
 
     if isinstance(graph, FastGraph) and agg_type in ("sum", "mean", "sym"):

@@ -268,6 +268,130 @@ def build_halo_fast_graph(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloGraph:
+    """A model-layer-consumable handle for halo-distributed full-graph
+    training: the global :class:`GraphBatch` (masks/degrees for norms and
+    encoders) plus the halo plans and the mesh. ``sir_aggregate``
+    dispatches on this type, so ``SIRConv``/``SIREConv``-based models run
+    unchanged with node-sharded features — the TPU-native analog of
+    swapping the graph object, the way the reference swaps DGLGraphs."""
+
+    graph: object                 # GraphBatch (global)
+    hfg: HaloFastGraph
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+
+    # GraphBatch conveniences (same surface as ops.ell.FastGraph)
+    @property
+    def n_pad(self):
+        return self.graph.n_pad
+
+    @property
+    def e_pad(self):
+        return self.graph.e_pad
+
+    @property
+    def g_pad(self):
+        return self.graph.g_pad
+
+    @property
+    def node_mask(self):
+        return self.graph.node_mask
+
+    @property
+    def edge_mask(self):
+        return self.graph.edge_mask
+
+    @property
+    def graph_mask(self):
+        return self.graph.graph_mask
+
+    @property
+    def node2graph(self):
+        return self.graph.node2graph
+
+    @property
+    def in_deg(self):
+        return self.graph.in_deg
+
+    @property
+    def out_deg(self):
+        return self.graph.out_deg
+
+    @property
+    def src(self):
+        return self.graph.src
+
+    @property
+    def dst(self):
+        return self.graph.dst
+
+    @property
+    def edge_perm(self):
+        return self.graph.edge_perm
+
+    @property
+    def row_ptr(self):
+        return self.graph.row_ptr
+
+    def batch_num_nodes(self):
+        return self.graph.batch_num_nodes()
+
+    def broadcast_nodes(self, gfeat):
+        return self.graph.broadcast_nodes(gfeat)
+
+    def in_degrees(self):
+        return self.graph.in_deg
+
+    def out_degrees(self):
+        return self.graph.out_deg
+
+
+def build_halo_graph(graph, n_shards: int, mesh: Mesh,
+                     agg_type: str = "sym", axis: str = "graph",
+                     max_budget: int = 256) -> HaloGraph:
+    """Host-side: wrap a GraphBatch for halo-distributed training."""
+    return HaloGraph(graph=graph,
+                     hfg=build_halo_fast_graph(graph, n_shards,
+                                               agg_type=agg_type,
+                                               max_budget=max_budget),
+                     mesh=mesh, axis=axis)
+
+
+def halo_sir_aggregate(hg: HaloGraph, eq, ek, activation, agg_type,
+                       edge_mask=None):
+    """The ``sir_aggregate`` implementation for :class:`HaloGraph`
+    (linear aggregators). With no dynamic mask the host-precomputed
+    per-slot scales apply (mean's division folded in); with a DropEdge
+    mask the dynamic-scale variant runs and mean divides by the dynamic
+    counts (single-device semantics, distributed)."""
+    assert agg_type in ("sum", "mean", "sym"), \
+        f"halo path supports linear aggregators, got {agg_type}"
+    assert agg_type == hg.hfg.agg_type, (
+        f"HaloGraph was built for agg_type={hg.hfg.agg_type!r}, "
+        f"conv uses {agg_type!r}")
+    g = hg.graph
+    if edge_mask is None:
+        f = make_halo_sir_aggregate(hg.hfg, activation, hg.mesh, hg.axis)
+        return f(eq, ek)
+    valid = jnp.logical_and(g.edge_mask, edge_mask)
+    scale = valid.astype(jnp.float32)
+    if agg_type == "sym":
+        in_norm = jnp.power(jnp.maximum(g.in_deg, 1.0), -0.5)
+        out_norm = jnp.power(jnp.maximum(g.out_deg, 1.0), -0.5)
+        scale = scale * (jnp.take(out_norm, g.src)
+                         * jnp.take(in_norm, g.dst))
+    f = make_halo_sir_aggregate(hg.hfg, activation, hg.mesh, hg.axis,
+                                dynamic_scale=True)
+    out = f(eq, ek, scale)
+    if agg_type == "mean":
+        counts = make_halo_counts(hg.hfg, hg.mesh, hg.axis)(scale)
+        out = out / jnp.maximum(counts, 1.0)[:, None]
+    return out
+
+
 def make_halo_sir_aggregate(
     hfg: HaloFastGraph,
     activation: Callable[[jax.Array], jax.Array],

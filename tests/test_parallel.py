@@ -133,17 +133,20 @@ def test_data_parallel_step(rng):
 
 
 def test_arxiv_mesh_devices_matches_single_device():
-    """--mesh-devices (GSPMD edge-partitioned full-graph training from the
-    harness CLI, SURVEY §2c P2) matches the single-device CSR path."""
+    """--mesh-devices (edge-partitioned full-graph training from the
+    harness CLI, SURVEY §2c P2) matches the single-device CSR path —
+    both the GSPMD-partitioned CSR and the boundary-only halo paths."""
     from experiments.ogbn_arxiv.train import main
 
     common = ["--epochs", "2", "--nruns", "1", "--nhidden", "12",
               "--nlayers", "2", "--log-every", "100",
               "--synthetic-nodes", "1000", "--synthetic-edges", "6000"]
     val_1, test_1 = main(common + ["--no-fast-path"])
-    val_8, test_8 = main(common + ["--mesh-devices", "8"])
-    assert abs(test_8[0] - test_1[0]) < 1e-6
-    assert abs(val_8[0] - val_1[0]) < 1e-6
+    for path in ("gspmd", "halo"):
+        val_8, test_8 = main(common + ["--mesh-devices", "8",
+                                       "--dist-path", path])
+        assert abs(test_8[0] - test_1[0]) < 1e-6, path
+        assert abs(val_8[0] - val_1[0]) < 1e-6, path
 
 
 def test_zinc_dp_devices_trains():
