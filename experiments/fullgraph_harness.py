@@ -59,10 +59,44 @@ def run_fullgraph_workload(
     key = set_seed(seed)
     train_w, val_w, test_w = masks
 
+    feats_sharding = None
+    mesh_n = int(getattr(args, "mesh_devices", 0) or 0)
+    if mesh_n > 1:
+        # Edge-partitioned full-graph training over a 'graph' mesh axis
+        # (SURVEY §2c P2): boundary-only halo fast path by default, or
+        # GSPMD-partitioned CSR with --dist-path gspmd.
+        from sir_gcn_tpu.ops.ell import FastGraph
+        from sir_gcn_tpu.parallel import make_mesh, shard_full_graph
+        from sir_gcn_tpu.parallel.full_graph import (
+            node_sharding,
+            replicated,
+        )
+
+        if isinstance(graph, FastGraph):
+            graph = graph.graph  # re-partition the plain CSR
+        mesh = make_mesh((mesh_n,), ("graph",),
+                         devices=jax.devices()[:mesh_n])
+        if getattr(args, "dist_path", "halo") == "halo":
+            assert "SIR" in getattr(args, "model", "SIR"), \
+                "--dist-path halo needs a SIR model"
+            from sir_gcn_tpu.parallel.halo import build_halo_graph
+
+            graph = build_halo_graph(
+                graph, mesh_n, mesh,
+                agg_type=getattr(args, "agg_type", "sum"))
+        else:
+            graph = shard_full_graph(graph, mesh)
+        feats_sharding = node_sharding(mesh)
+
     feats_j = jnp.asarray(feats, dtype)
     labels_j = jnp.asarray(labels)
+    if feats_sharding is not None:
+        feats_j = jax.device_put(feats_j, feats_sharding)
+        labels_j = jax.device_put(labels_j, feats_sharding)
     key, ik = jax.random.split(key)
     variables = model.init(ik, graph, feats_j)
+    if feats_sharding is not None:
+        variables = jax.device_put(variables, replicated(mesh))
     tx = make_adamw(args.lr, args.wd)
     state = init_state(variables, tx)
     print(f"Params: {param_count(state.params)}")

@@ -164,6 +164,11 @@ def main(argv=None):
     p.add_argument("--nsplits", type=int, default=NUM_SPLITS)
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--no-fast-path", action="store_true")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="edge-partition the full graph over this many "
+                        "devices on a 'graph' mesh axis; 0/1 = single device")
+    p.add_argument("--dist-path", type=str, default="halo",
+                   choices=["halo", "gspmd"])
     p.add_argument("--synthetic-nodes", type=int, default=2048)
     p.add_argument("--synthetic-edges", type=int, default=16384)
     args = p.parse_args(argv)

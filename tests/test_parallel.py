@@ -159,3 +159,18 @@ def test_zinc_dp_devices_trains():
                       "--norm", "bn", "--synthetic-samples", "80",
                       "--batch-size", "8", "--log-every", "100"])
     assert np.isfinite(test[0])
+
+
+def test_wikics_mesh_devices_matches_single_device():
+    """--mesh-devices on the shared fullgraph harness (wiki-cs): the halo
+    fast path through the model layer matches single-device."""
+    from experiments.wiki_cs.train import main
+
+    common = ["--epochs", "2", "--nruns", "1", "--nsplits", "1",
+              "--nhidden", "12", "--nlayers", "2", "--agg-type", "mean",
+              "--log-every", "100", "--synthetic-nodes", "1000",
+              "--synthetic-edges", "6000"]
+    val_1, test_1 = main(common + ["--no-fast-path"])
+    val_8, test_8 = main(common + ["--mesh-devices", "8"])
+    assert abs(test_8[0] - test_1[0]) < 1e-6
+    assert abs(val_8[0] - val_1[0]) < 1e-6
