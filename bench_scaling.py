@@ -33,6 +33,10 @@ def main():
     p.add_argument("--hidden", type=int, default=64)
     p.add_argument("--layers", type=int, default=2)
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--path", type=str, default="halo",
+                   choices=["halo", "gspmd"],
+                   help="boundary-only halo fast path (Pallas local "
+                        "compute on TPU) or GSPMD-partitioned CSR")
     args = p.parse_args()
 
     import jax
@@ -71,7 +75,12 @@ def main():
         labels[:N] = labels_np
 
         mesh = make_mesh((nd,), ("graph",), devices=devices)
-        gs = shard_full_graph(graph, mesh)
+        if args.path == "halo":
+            from sir_gcn_tpu.parallel.halo import build_halo_graph
+
+            gs = build_halo_graph(graph, nd, mesh, agg_type="sym")
+        else:
+            gs = shard_full_graph(graph, mesh)
         feats_s = jax.device_put(jnp.asarray(feats), node_sharding(mesh))
         labels_s = jax.device_put(jnp.asarray(labels), node_sharding(mesh))
         variables = jax.device_put(

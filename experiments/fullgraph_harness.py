@@ -76,14 +76,17 @@ def run_fullgraph_workload(
             graph = graph.graph  # re-partition the plain CSR
         mesh = make_mesh((mesh_n,), ("graph",),
                          devices=jax.devices()[:mesh_n])
-        if getattr(args, "dist_path", "halo") == "halo":
-            assert "SIR" in getattr(args, "model", "SIR"), \
-                "--dist-path halo needs a SIR model"
+        agg = getattr(args, "agg_type", "sum")
+        use_halo = (getattr(args, "dist_path", "halo") == "halo"
+                    and "SIR" in getattr(args, "model", "SIR")
+                    and agg in ("sum", "mean", "sym"))
+        if getattr(args, "dist_path", "halo") == "halo" and not use_halo:
+            print("[note] halo path needs a SIR model with a linear "
+                  "aggregator; using the GSPMD-partitioned CSR instead")
+        if use_halo:
             from sir_gcn_tpu.parallel.halo import build_halo_graph
 
-            graph = build_halo_graph(
-                graph, mesh_n, mesh,
-                agg_type=getattr(args, "agg_type", "sum"))
+            graph = build_halo_graph(graph, mesh_n, mesh, agg_type=agg)
         else:
             graph = shard_full_graph(graph, mesh)
         feats_sharding = node_sharding(mesh)

@@ -289,8 +289,12 @@ def run_single(args, seed: int, data, iter_idx: int):
 
         mesh = make_mesh((args.mesh_devices,), ("graph",),
                          devices=jax.devices()[:args.mesh_devices])
-        if args.dist_path == "halo":
-            assert args.model == "SIR", "--dist-path halo needs SIR"
+        use_halo = (args.dist_path == "halo" and args.model == "SIR"
+                    and args.agg_type in ("sum", "mean", "sym"))
+        if args.dist_path == "halo" and not use_halo:
+            print("[note] halo path needs a SIR model with a linear "
+                  "aggregator; using the GSPMD-partitioned CSR instead")
+        if use_halo:
             from sir_gcn_tpu.parallel.halo import build_halo_graph
 
             graph = build_halo_graph(graph, args.mesh_devices, mesh,
