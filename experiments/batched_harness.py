@@ -175,6 +175,8 @@ def run_batched_workload(
         (lambda a, b: a > b)
 
     for epoch in range(1, args.epochs + 1):
+        # warmup/plateau LR applies to THIS epoch's steps
+        state = set_lr_scale(state, driver.lr_scale(epoch))
         if dp_step is not None:
             group = []
             for b in prefetch(coll.loader(np.asarray(train_idx),
@@ -204,7 +206,7 @@ def run_batched_workload(
         else:
             val_loss, val_metric = loss, metric
         test_loss, test_metric = evaluate(test_idx)
-        state = set_lr_scale(state, driver.scale_for_epoch(epoch, loss))
+        driver.plateau_step(epoch, loss)
 
         if best is None or better(val_metric, best["val_metric"]):
             best = dict(val_loss=val_loss, val_metric=val_metric,

@@ -156,13 +156,15 @@ def run_single(args, seed: int):
     shuffle_rng = np.random.default_rng(seed + 12345)
     acc = test_acc = 0.0
     for epoch in range(1, args.epochs + 1):
+        # warmup/plateau LR applies to THIS epoch's steps
+        state = set_lr_scale(state, driver.lr_scale(epoch))
         for feats, labels, weights in iterate(train_idx, shuffle_rng):
             key, sk = jax.random.split(key)
             state, _ = train_step(state, sk, jnp.asarray(feats),
                                   jnp.asarray(labels), jnp.asarray(weights))
         loss, acc = evaluate(train_idx)
         test_loss, test_acc = evaluate(test_idx)
-        state = set_lr_scale(state, driver.scale_for_epoch(epoch, loss))
+        driver.plateau_step(epoch, loss)
 
         if driver.should_log(epoch):
             print(f"Epoch {epoch:04d} | loss: {loss:.4f} | acc: {acc:.4f} | "

@@ -42,6 +42,50 @@ def masked_bce_logits(logits, labels, w):
     return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def setup_mesh_graph(graph, args):
+    """Shared --mesh-devices setup for full-graph workloads (SURVEY §2c
+    P2): returns ``(graph, feats_sharding, mesh)`` —
+    ``(graph, None, None)`` when single-device. Re-pads the graph to a
+    mesh-divisible node count if needed, then wraps it for the
+    boundary-only halo fast path (default) or GSPMD-partitions the CSR
+    (``--dist-path gspmd``, or automatically when the model/aggregator
+    is outside the halo path's support)."""
+    mesh_n = int(getattr(args, "mesh_devices", 0) or 0)
+    if mesh_n <= 1:
+        return graph, None, None
+    from sir_gcn_tpu import build_graph
+    from sir_gcn_tpu.ops.ell import FastGraph
+    from sir_gcn_tpu.parallel import make_mesh, shard_full_graph
+    from sir_gcn_tpu.parallel.full_graph import node_sharding
+
+    if isinstance(graph, FastGraph):
+        graph = graph.graph  # re-partition the plain CSR
+    if graph.n_pad % mesh_n != 0:
+        # rebuild with a mesh-divisible pad from the real edges (padding
+        # edges sit at the tail of the dst-sorted arrays)
+        n_e = int(np.asarray(graph.edge_mask).sum())
+        n = int(np.asarray(graph.node_mask).sum())
+        graph = build_graph(np.asarray(graph.src)[:n_e],
+                            np.asarray(graph.dst)[:n_e], n,
+                            pad_multiple=128 * mesh_n)
+    mesh = make_mesh((mesh_n,), ("graph",),
+                     devices=jax.devices()[:mesh_n])
+    agg = getattr(args, "agg_type", "sum")
+    use_halo = (getattr(args, "dist_path", "halo") == "halo"
+                and "SIR" in getattr(args, "model", "SIR")
+                and agg in ("sum", "mean", "sym"))
+    if getattr(args, "dist_path", "halo") == "halo" and not use_halo:
+        print("[note] halo path needs a SIR model with a linear "
+              "aggregator; using the GSPMD-partitioned CSR instead")
+    if use_halo:
+        from sir_gcn_tpu.parallel.halo import build_halo_graph
+
+        graph = build_halo_graph(graph, mesh_n, mesh, agg_type=agg)
+    else:
+        graph = shard_full_graph(graph, mesh)
+    return graph, node_sharding(mesh), mesh
+
+
 def run_fullgraph_workload(
     *,
     model,
@@ -59,37 +103,18 @@ def run_fullgraph_workload(
     key = set_seed(seed)
     train_w, val_w, test_w = masks
 
-    feats_sharding = None
-    mesh_n = int(getattr(args, "mesh_devices", 0) or 0)
-    if mesh_n > 1:
-        # Edge-partitioned full-graph training over a 'graph' mesh axis
-        # (SURVEY §2c P2): boundary-only halo fast path by default, or
-        # GSPMD-partitioned CSR with --dist-path gspmd.
-        from sir_gcn_tpu.ops.ell import FastGraph
-        from sir_gcn_tpu.parallel import make_mesh, shard_full_graph
-        from sir_gcn_tpu.parallel.full_graph import (
-            node_sharding,
-            replicated,
-        )
+    graph, feats_sharding, mesh = setup_mesh_graph(graph, args)
+    if feats_sharding is not None and graph.n_pad > feats.shape[0]:
+        # the graph was re-padded to a mesh-divisible size; grow the
+        # node-indexed arrays with zero rows (padding semantics)
+        grow = graph.n_pad - feats.shape[0]
 
-        if isinstance(graph, FastGraph):
-            graph = graph.graph  # re-partition the plain CSR
-        mesh = make_mesh((mesh_n,), ("graph",),
-                         devices=jax.devices()[:mesh_n])
-        agg = getattr(args, "agg_type", "sum")
-        use_halo = (getattr(args, "dist_path", "halo") == "halo"
-                    and "SIR" in getattr(args, "model", "SIR")
-                    and agg in ("sum", "mean", "sym"))
-        if getattr(args, "dist_path", "halo") == "halo" and not use_halo:
-            print("[note] halo path needs a SIR model with a linear "
-                  "aggregator; using the GSPMD-partitioned CSR instead")
-        if use_halo:
-            from sir_gcn_tpu.parallel.halo import build_halo_graph
+        def _grow(a):
+            return np.concatenate(
+                [a, np.zeros((grow,) + a.shape[1:], a.dtype)])
 
-            graph = build_halo_graph(graph, mesh_n, mesh, agg_type=agg)
-        else:
-            graph = shard_full_graph(graph, mesh)
-        feats_sharding = node_sharding(mesh)
+        feats, labels = _grow(feats), _grow(labels)
+        train_w, val_w, test_w = map(_grow, (train_w, val_w, test_w))
 
     feats_j = jnp.asarray(feats, dtype)
     labels_j = jnp.asarray(labels)
@@ -99,6 +124,8 @@ def run_fullgraph_workload(
     key, ik = jax.random.split(key)
     variables = model.init(ik, graph, feats_j)
     if feats_sharding is not None:
+        from sir_gcn_tpu.parallel.full_graph import replicated
+
         variables = jax.device_put(variables, replicated(mesh))
     tx = make_adamw(args.lr, args.wd)
     state = init_state(variables, tx)
@@ -139,6 +166,8 @@ def run_fullgraph_workload(
                          log_every=args.log_every)
     best = None
     for epoch in range(1, args.epochs + 1):
+        # warmup/plateau LR applies to THIS epoch's step
+        state = set_lr_scale(state, driver.lr_scale(epoch))
         key, sk = jax.random.split(key)
         state, _ = train_step(state, sk, feats_j, labels_j)
 
@@ -152,8 +181,7 @@ def run_fullgraph_workload(
                 loss_fn(jnp.asarray(logits), labels_j, lw))
             metrics[f"{name}metric"] = metric_fn(logits[idx], labels[idx])
 
-        state = set_lr_scale(
-            state, driver.scale_for_epoch(epoch, metrics["loss"]))
+        driver.plateau_step(epoch, metrics["loss"])
         if best is None or metrics["val_loss"] < best["val_loss"]:
             best = dict(metrics)
         if driver.should_log(epoch):

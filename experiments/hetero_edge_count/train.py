@@ -105,6 +105,8 @@ def run_single(args, seed: int):
     shuffle_rng = np.random.default_rng(seed + 12345)
     loss = test_loss = float("inf")
     for epoch in range(1, args.epochs + 1):
+        # warmup/plateau LR applies to THIS epoch's steps
+        state = set_lr_scale(state, driver.lr_scale(epoch))
         for b in coll.loader(train_idx, args.batch_size, shuffle_rng):
             key, sk = jax.random.split(key)
             state, _ = train_step(state, sk, b["graph"],
@@ -113,7 +115,7 @@ def run_single(args, seed: int):
                                   jnp.asarray(b["graph_weights"]))
         loss = evaluate(train_idx)
         test_loss = evaluate(test_idx)
-        state = set_lr_scale(state, driver.scale_for_epoch(epoch, loss))
+        driver.plateau_step(epoch, loss)
 
         if driver.should_log(epoch):
             print(f"Epoch {epoch:04d} | loss: {loss:.4f} | "

@@ -203,6 +203,8 @@ def run_single(args, seed):
     shuffle_rng = np.random.default_rng(seed + 12345)
     best = None
     for epoch in range(1, args.epochs + 1):
+        # warmup/plateau LR applies to THIS epoch's steps
+        state = set_lr_scale(state, driver.lr_scale(epoch))
         for b in prefetch(coll.loader(np.asarray(tr), args.batch_size,
                                       shuffle_rng)):
             key, sk = jax.random.split(key)
@@ -210,7 +212,7 @@ def run_single(args, seed):
         loss, auc = evaluate(tr)
         val_loss, val_auc = evaluate(va)
         test_loss, test_auc = evaluate(te)
-        state = set_lr_scale(state, driver.scale_for_epoch(epoch, loss))
+        driver.plateau_step(epoch, loss)
         if best is None or val_auc > best["val_metric"]:
             best = dict(val_metric=val_auc, test_metric=test_auc)
         if driver.should_log(epoch):

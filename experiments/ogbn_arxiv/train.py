@@ -274,40 +274,21 @@ def run_single(args, seed: int, data, iter_idx: int):
            {"num_heads": args.nheads, "attn_dropout": args.attn_dropout,
             "residual": args.residual}),
     )
-    feats_sharding = None
-    if args.mesh_devices > 1:
-        # Edge-partitioned full-graph training (SURVEY §2c P2) over a
-        # 'graph' mesh axis. --dist-path gspmd shards the dst-sorted CSR
-        # and lets GSPMD insert the boundary all-gathers; --dist-path
-        # halo uses the boundary-only all_to_all fast path (Pallas local
-        # compute on TPU) via the HaloGraph sir_aggregate dispatch.
-        from sir_gcn_tpu.parallel import make_mesh, shard_full_graph
-        from sir_gcn_tpu.parallel.full_graph import (
-            node_sharding,
-            replicated,
-        )
+    # Edge-partitioned full-graph training (SURVEY §2c P2) over a 'graph'
+    # mesh axis: boundary-only halo fast path by default, GSPMD CSR with
+    # --dist-path gspmd (shared helper; no re-pad happens here because
+    # build_arxiv_graph already pads mesh-divisibly).
+    from experiments.fullgraph_harness import setup_mesh_graph
 
-        mesh = make_mesh((args.mesh_devices,), ("graph",),
-                         devices=jax.devices()[:args.mesh_devices])
-        use_halo = (args.dist_path == "halo" and args.model == "SIR"
-                    and args.agg_type in ("sum", "mean", "sym"))
-        if args.dist_path == "halo" and not use_halo:
-            print("[note] halo path needs a SIR model with a linear "
-                  "aggregator; using the GSPMD-partitioned CSR instead")
-        if use_halo:
-            from sir_gcn_tpu.parallel.halo import build_halo_graph
-
-            graph = build_halo_graph(graph, args.mesh_devices, mesh,
-                                     agg_type=args.agg_type)
-        else:
-            graph = shard_full_graph(graph, mesh)
-        feats_sharding = node_sharding(mesh)
+    graph, feats_sharding, mesh = setup_mesh_graph(graph, args)
 
     input_dim = feats.shape[1] + (num_classes if args.use_labels else 0)
     dummy = jnp.zeros((n_pad, input_dim), jnp.float32)
     key, ik = jax.random.split(key)
     variables = model.init(ik, graph, dummy)
     if feats_sharding is not None:
+        from sir_gcn_tpu.parallel.full_graph import replicated
+
         variables = jax.device_put(variables, replicated(mesh))
 
     tx = make_adamw(args.lr, args.wd)
@@ -380,6 +361,8 @@ def run_single(args, seed: int, data, iter_idx: int):
         labeled = mask_of(data.train_idx[~sub])  # label trick uses complement
         unlabeled = np.clip(train_w - labeled + val_w + test_w, 0, 1)
 
+        # warmup/plateau LR applies to THIS epoch's step (train.py:189-190)
+        state = set_lr_scale(state, driver.lr_scale(epoch))
         key, sk = jax.random.split(key)
         state, _ = train_step(
             state, sk, feats_j, labels_j, jnp.asarray(labeled),
@@ -398,8 +381,7 @@ def run_single(args, seed: int, data, iter_idx: int):
             metrics[f"{name}loss"] = ce
             metrics[f"{name}acc"] = acc
 
-        state = set_lr_scale(
-            state, driver.scale_for_epoch(epoch, metrics["loss"]))
+        driver.plateau_step(epoch, metrics["loss"])
 
         if metrics["val_loss"] < best_val_loss:
             best_val_loss = metrics["val_loss"]

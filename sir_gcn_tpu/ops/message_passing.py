@@ -110,6 +110,10 @@ def sir_aggregate(
     if type(graph).__name__ == "HaloGraph":  # lazy: avoid import cycle
         from ..parallel.halo import halo_sir_aggregate
 
+        if e is not None:
+            raise NotImplementedError(
+                "edge features (SIREConv) are not supported on the halo "
+                "distributed path yet — use --dist-path gspmd")
         return halo_sir_aggregate(graph, eq, ek, activation, agg_type,
                                   edge_mask=edge_mask)
 

@@ -274,9 +274,11 @@ class HaloGraph:
     """A model-layer-consumable handle for halo-distributed full-graph
     training: the global :class:`GraphBatch` (masks/degrees for norms and
     encoders) plus the halo plans and the mesh. ``sir_aggregate``
-    dispatches on this type, so ``SIRConv``/``SIREConv``-based models run
-    unchanged with node-sharded features — the TPU-native analog of
-    swapping the graph object, the way the reference swaps DGLGraphs."""
+    dispatches on this type, so ``SIRConv``-based models run unchanged
+    with node-sharded features — the TPU-native analog of swapping the
+    graph object, the way the reference swaps DGLGraphs. Edge features
+    (SIREConv) and max aggregation are not supported on this path yet
+    (the dispatch raises; use the GSPMD path for those)."""
 
     graph: object                 # GraphBatch (global)
     hfg: HaloFastGraph
@@ -360,6 +362,25 @@ def build_halo_graph(graph, n_shards: int, mesh: Mesh,
                      mesh=mesh, axis=axis)
 
 
+_BUILDER_CACHE: dict = {}
+
+
+def _cached(kind, build, hfg, activation, extra=()):
+    """Builder cache: halo_sir_aggregate runs once per conv layer per
+    trace, and each make_* call constructs fresh shard_map programs —
+    identical for the same (plans, activation). Keyed on object ids,
+    revalidated by identity (same pattern as ops.ell's probe cache)."""
+    key = (kind, id(hfg), id(activation)) + tuple(extra)
+    hit = _BUILDER_CACHE.get(key)
+    if hit is not None and hit[0] is hfg and hit[1] is activation:
+        return hit[2]
+    f = build()
+    if len(_BUILDER_CACHE) > 64:
+        _BUILDER_CACHE.clear()
+    _BUILDER_CACHE[key] = (hfg, activation, f)
+    return f
+
+
 def halo_sir_aggregate(hg: HaloGraph, eq, ek, activation, agg_type,
                        edge_mask=None):
     """The ``sir_aggregate`` implementation for :class:`HaloGraph`
@@ -374,7 +395,9 @@ def halo_sir_aggregate(hg: HaloGraph, eq, ek, activation, agg_type,
         f"conv uses {agg_type!r}")
     g = hg.graph
     if edge_mask is None:
-        f = make_halo_sir_aggregate(hg.hfg, activation, hg.mesh, hg.axis)
+        f = _cached("static", lambda: make_halo_sir_aggregate(
+            hg.hfg, activation, hg.mesh, hg.axis), hg.hfg, activation,
+            (hg.axis,))
         return f(eq, ek)
     valid = jnp.logical_and(g.edge_mask, edge_mask)
     scale = valid.astype(jnp.float32)
@@ -383,13 +406,33 @@ def halo_sir_aggregate(hg: HaloGraph, eq, ek, activation, agg_type,
         out_norm = jnp.power(jnp.maximum(g.out_deg, 1.0), -0.5)
         scale = scale * (jnp.take(out_norm, g.src)
                          * jnp.take(in_norm, g.dst))
-    f = make_halo_sir_aggregate(hg.hfg, activation, hg.mesh, hg.axis,
-                                dynamic_scale=True)
+    f = _cached("dynamic", lambda: make_halo_sir_aggregate(
+        hg.hfg, activation, hg.mesh, hg.axis, dynamic_scale=True),
+        hg.hfg, activation, (hg.axis,))
     out = f(eq, ek, scale)
     if agg_type == "mean":
-        counts = make_halo_counts(hg.hfg, hg.mesh, hg.axis)(scale)
-        out = out / jnp.maximum(counts, 1.0)[:, None]
+        counts_fn = _cached("counts", lambda: make_halo_counts(
+            hg.hfg, hg.mesh, hg.axis), hg.hfg, activation, (hg.axis,))
+        out = out / jnp.maximum(counts_fn(scale), 1.0)[:, None]
     return out
+
+
+def _to_shard_scale(hfg: HaloFastGraph, edge_scale):
+    """[E_pad] global per-edge scale -> [S*Emax] shard-sliced rows (the
+    single slicing used by forward, backward AND the mean counts — keep
+    one copy so they can never disagree)."""
+    s = (jnp.take(edge_scale, hfg.edge_slice_idx.reshape(-1))
+         .reshape(hfg.n_shards, hfg.e_max) * hfg.edge_slice_valid)
+    return s.reshape(hfg.n_shards * hfg.e_max)
+
+
+def _exchange(ek_l, hfg_l, axis: str):
+    """Boundary-row all_to_all: [S*Hm, H], block d = rows for receiver d;
+    tiled all_to_all swaps blocks so block j on the receiver = rows sent
+    by shard j."""
+    send = jnp.take(ek_l, hfg_l.send_idx[0], axis=0)
+    return jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                              tiled=True)
 
 
 def make_halo_sir_aggregate(
@@ -435,18 +478,11 @@ def make_halo_sir_aggregate(
             s_i, s_b = hfg_l.scale_i[0], hfg_l.scale_b[0]
         return s_i, s_b
 
-    def exchange(ek_l, hfg_l):
-        # [S*Hm, H], block d = rows for receiver d; tiled all_to_all swaps
-        # blocks so block j on the receiver = rows sent by shard j
-        send = jnp.take(ek_l, hfg_l.send_idx[0], axis=0)
-        return jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
-                                  tiled=True)
-
     def local_fwd(eq_l, ek_l, scale_l, hfg_l):
         dpi = _unstack_plan(hfg_l.dst_plan_i)
         dpb = _unstack_plan(hfg_l.dst_plan_b)
         s_i, s_b = slot_scales(scale_l, hfg_l, dpi, dpb)
-        halo = exchange(ek_l, hfg_l)
+        halo = _exchange(ek_l, hfg_l, axis)
         # interior term has no dependency on the collective -> overlaps
         z_i = dpi.spread(eq_l) + jnp.take(ek_l, hfg_l.slot_src_local[0],
                                           axis=0)
@@ -462,7 +498,7 @@ def make_halo_sir_aggregate(
         hp = _unstack_plan(hfg_l.halo_plan)
         rp = _unstack_plan(hfg_l.ret_plan)
         s_i, s_b = slot_scales(scale_l, hfg_l, dpi, dpb)
-        halo = exchange(ek_l, hfg_l)
+        halo = _exchange(ek_l, hfg_l, axis)
 
         z_i = dpi.spread(eq_l) + jnp.take(ek_l, hfg_l.slot_src_local[0],
                                           axis=0)
@@ -499,19 +535,13 @@ def make_halo_sir_aggregate(
         in_specs=(node_spec, node_spec, node_spec, node_spec, plan_spec),
         out_specs=(node_spec, node_spec), check_vma=False))
 
-    def to_shard_scale(edge_scale):
-        """[E_pad] global per-edge scale -> [S*Emax] shard-sliced rows."""
-        s = (jnp.take(edge_scale, hfg.edge_slice_idx.reshape(-1))
-             .reshape(S, hfg.e_max) * hfg.edge_slice_valid)
-        return s.reshape(S * hfg.e_max)
-
     if dynamic_scale:
         @jax.custom_vjp
         def f(eq, ek, edge_scale):
-            return fwd_sm(eq, ek, to_shard_scale(edge_scale), hfg)
+            return fwd_sm(eq, ek, _to_shard_scale(hfg, edge_scale), hfg)
 
         def f_fwd(eq, ek, edge_scale):
-            s = to_shard_scale(edge_scale)
+            s = _to_shard_scale(hfg, edge_scale)
             return fwd_sm(eq, ek, s, hfg), (eq, ek, s)
 
         def f_bwd(res, g):
@@ -573,11 +603,6 @@ def make_halo_sir_aggregate_pallas(
     def cat(xs):
         return jnp.concatenate(xs) if len(xs) > 1 else xs[0]
 
-    def exchange(ek_l, hfg_l):
-        send = jnp.take(ek_l, hfg_l.send_idx[0], axis=0)
-        return jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
-                                  tiled=True)
-
     def fwd_scales(scale_l, hfg_l, dpi, dpb):
         if dynamic_scale:
             return (dpi.gather_edges(scale_l) * dpi.slot_valid,
@@ -601,7 +626,7 @@ def make_halo_sir_aggregate_pallas(
         dpi = _unstack_plan(hfg_l.dst_plan_i)
         dpb = _unstack_plan(hfg_l.dst_plan_b)
         s_i, s_b = fwd_scales(scale_l, hfg_l, dpi, dpb)
-        halo = exchange(ek_l, hfg_l)
+        halo = _exchange(ek_l, hfg_l, axis)
         # interior stage has no dependency on the collective -> overlaps
         ekg_i = jnp.take(cast(ek_l), hfg_l.slot_src_local[0], axis=0)
         out_i, sb_i = stage2(ekg_i, jnp.take(eq_l, dpi.row_key, axis=0),
@@ -631,7 +656,7 @@ def make_halo_sir_aggregate_pallas(
         else:
             s_si = hfg_l.src_scale_i[0].astype(jnp.float32)
             s_hp = hfg_l.halo_scale[0].astype(jnp.float32)
-        halo = exchange(ek_l, hfg_l)
+        halo = _exchange(ek_l, hfg_l, axis)
 
         # interior: z = eq[dst_e] + ek_l[src rows], reduce by local src
         eqg = jnp.take(cast(eq_l), hfg_l.src_dstnode_i[0], axis=0)
@@ -659,18 +684,13 @@ def make_halo_sir_aggregate_pallas(
         in_specs=(node_spec, node_spec, node_spec, node_spec, plan_spec),
         out_specs=node_spec, check_vma=False))
 
-    def to_shard_scale(edge_scale):
-        s = (jnp.take(edge_scale, hfg.edge_slice_idx.reshape(-1))
-             .reshape(S, hfg.e_max) * hfg.edge_slice_valid)
-        return s.reshape(S * hfg.e_max)
-
     if dynamic_scale:
         @jax.custom_vjp
         def f(eq, ek, edge_scale):
-            return fwd2_sm(eq, ek, to_shard_scale(edge_scale), hfg)[0]
+            return fwd2_sm(eq, ek, _to_shard_scale(hfg, edge_scale), hfg)[0]
 
         def f_fwd(eq, ek, edge_scale):
-            s = to_shard_scale(edge_scale)
+            s = _to_shard_scale(hfg, edge_scale)
             out, sbar = fwd2_sm(eq, ek, s, hfg)
             return out, (eq, ek, s, sbar)
 
@@ -719,8 +739,6 @@ def make_halo_counts(hfg: HaloFastGraph, mesh: Mesh, axis: str = "graph"):
                            out_specs=node_spec, check_vma=False))
 
     def counts(edge_scale):
-        s = (jnp.take(edge_scale, hfg.edge_slice_idx.reshape(-1))
-             .reshape(S, hfg.e_max) * hfg.edge_slice_valid)
-        return sm(s.reshape(S * hfg.e_max), hfg)
+        return sm(_to_shard_scale(hfg, edge_scale), hfg)
 
     return counts

@@ -19,14 +19,23 @@ def initialize_multihost(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> dict:
-    """Initialize jax.distributed (no-op on a single process) and report
-    the global topology."""
+    """Initialize jax.distributed and report the global topology.
+
+    With no arguments, jax.distributed.initialize() runs its own cluster
+    auto-detection (TPU pod metadata / standard env vars); if none is
+    found the runtime stays single-process. Explicit arguments override
+    auto-detection."""
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # no cluster environment detected: single-process
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

@@ -118,8 +118,27 @@ class EpochDriver:
         self.best_metric: Optional[float] = None
         self.best_payload: Any = None
 
+    def lr_scale(self, epoch: int) -> float:
+        """Scale to apply BEFORE training this epoch: the reference sets
+        the warmup LR at the top of each epoch (warmup_lr before train,
+        e.g. ogbn-arxiv train.py:189-190), so epoch 1 trains at
+        lr * 1/warmup — not at full LR."""
+        return warmup_scale(epoch, self.warmup) * self.plateau.scale
+
+    def plateau_step(self, epoch: int, metric: float) -> None:
+        """Advance the plateau scheduler AFTER this epoch's evaluation
+        (reference: scheduler.step(loss) after evaluate, train.py:193).
+        During warmup, torch's warmup_lr overwrites the LR at the top of
+        the next epoch, so an in-warmup plateau reduction never takes
+        effect — replicated by resetting the scale."""
+        self.plateau.step(metric)
+        if epoch + 1 <= self.warmup:
+            self.plateau.scale = 1.0
+
     def scale_for_epoch(self, epoch: int, plateau_metric: Optional[float]
                         ) -> float:
+        """Deprecated post-epoch combination (applies warmup one epoch
+        late); use lr_scale + plateau_step instead."""
         w = warmup_scale(epoch, self.warmup)
         p = (self.plateau.step(plateau_metric)
              if plateau_metric is not None else self.plateau.scale)
