@@ -66,6 +66,10 @@ def main(args):
         f"({args.graph}) ...")
     if args.graph == "community":
         src, dst = community_graph(rng, N, E_RAW)
+    elif args.graph == "powerlaw":
+        from sir_gcn_tpu.data.synthetic import powerlaw_edges
+
+        src, dst = powerlaw_edges(rng, N, E_RAW)
     else:
         src = rng.integers(0, N, E_RAW)
         dst = rng.integers(0, N, E_RAW)
@@ -86,7 +90,14 @@ def main(args):
     log("building ELL fast-graph plans ...")
     from sir_gcn_tpu.ops import set_edge_dtype
     from sir_gcn_tpu.ops.ell import build_fast_graph
+    t_plan = time.time()
     graph = build_fast_graph(graph)
+    deg = np.bincount(np.asarray(dst), minlength=N)
+    log(f"plans: {time.time() - t_plan:.1f}s; slot inflation "
+        f"dst {graph.dst_plan.num_slots / max(E, 1):.3f}x "
+        f"src {graph.src_plan.num_slots / max(E, 1):.3f}x; "
+        f"max in-degree {int(deg.max())}; "
+        f"dst buckets {graph.dst_plan.buckets1}")
     # bf16 edge pipeline (f32 accumulation) — the framework's AMP analog
     set_edge_dtype(jnp.bfloat16)
     if args.remat:
@@ -172,7 +183,7 @@ def main(args):
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--graph", choices=["random", "community"],
+    p.add_argument("--graph", choices=["random", "community", "powerlaw"],
                    default="random")
     p.add_argument("--reorder", action="store_true")
     p.add_argument("--remat", action="store_true")

@@ -20,6 +20,12 @@ from sir_gcn_tpu.graph import GraphBatch
 from sir_gcn_tpu.models import Linear, SIRConv, get_norm
 
 
+def gelu_exact(x):
+    # torch nn.GELU default is the exact erf form (reference
+    # heterophilous-datasets/model.py:18), not the tanh approximation
+    return jax.nn.gelu(x, approximate=False)
+
+
 class SIRModel(nn.Module):
     hidden_dim: int
     output_dim: int
@@ -35,7 +41,7 @@ class SIRModel(nn.Module):
     @nn.compact
     def __call__(self, graph: GraphBatch, feats, *,
                  deterministic: bool = True):
-        act = jax.nn.gelu
+        act = gelu_exact
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         if self.use_bf16:
             feats = feats.astype(jnp.bfloat16)

@@ -100,8 +100,10 @@ class SIRModel(nn.Module):
             # commented variant model.py:118-120: random feature augmenting
             x = x + jax.random.uniform(self.make_rng("dropout"),
                                        x.shape, x.dtype, -1.0, 1.0)
+        # reference commented variant: CentralityEncoder(..., 'in')
+        # (model.py:105) — in-degree only
         x = CentralityEncoder(self.max_degree, self.hidden_dim,
-                              name="centrality")(graph, x)
+                              direction="in", name="centrality")(graph, x)
         x = nn.Dropout(self.input_dropout,
                        deterministic=deterministic)(x)
 

@@ -91,3 +91,17 @@ class HeteroEdgeCountDataset:
 
     def __len__(self):
         return len(self.graphs)
+
+
+def powerlaw_edges(rng: np.random.Generator, num_nodes: int,
+                   num_edges: int, exponent: float = 1.05):
+    """Heavy-tail in-degree edge sampler (the real ogbn-arxiv citation
+    graph has a power-law in-degree distribution; the uniform random
+    bench graph is the easy case for the ELL hub-split machinery).
+    ``dst`` follows a truncated Zipf over node ranks, ``src`` is uniform.
+    Returns (src, dst) int64 arrays."""
+    p = np.arange(1, num_nodes + 1, dtype=np.float64) ** -exponent
+    p /= p.sum()
+    dst = rng.choice(num_nodes, size=num_edges, p=p).astype(np.int64)
+    src = rng.integers(0, num_nodes, num_edges).astype(np.int64)
+    return src, dst

@@ -30,6 +30,20 @@ from .layers import Linear, torch_kernel_init
 
 Activation = Callable[[jax.Array], jax.Array]
 
+FeatLike = "jax.Array | tuple[jax.Array, jax.Array]"
+
+
+def expand_as_pair(feat):
+    """Reference ``expand_as_pair`` (``models/conv.py:4,59``): a single
+    feature array is used for both endpoints; a ``(feat_src, feat_dst)``
+    tuple feeds the key side from src features and the query side from dst
+    features (bipartite layer contract, declared by all four conv
+    classes)."""
+    if isinstance(feat, (tuple, list)):
+        feat_src, feat_dst = feat
+        return feat_src, feat_dst
+    return feat, feat
+
 
 def _relation_params(module: nn.Module, hidden_dim: int, output_dim: int,
                      use_bias: bool):
@@ -70,16 +84,17 @@ class SIRConv(nn.Module):
     def __call__(
         self,
         graph: GraphBatch,
-        feat: jax.Array,
+        feat,
         *,
         edge_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        feat_src, feat_dst = expand_as_pair(feat)
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         eq = drop(Linear(self.hidden_dim, use_bias=self.inner_bias,
-                         name="linear_query")(feat))
+                         name="linear_query")(feat_dst))
         ek = drop(Linear(self.hidden_dim, use_bias=False,
-                         name="linear_key")(feat))
+                         name="linear_key")(feat_src))
         if self.agg_type == "max":
             w, b = _relation_params(
                 self, self.hidden_dim, self.output_dim, self.outer_bias
@@ -120,17 +135,18 @@ class SIREConv(nn.Module):
     def __call__(
         self,
         graph: GraphBatch,
-        nfeat: jax.Array,
+        nfeat,
         efeat: jax.Array,
         *,
         edge_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        feat_src, feat_dst = expand_as_pair(nfeat)
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         eq = drop(Linear(self.hidden_dim, use_bias=self.inner_bias,
-                         name="linear_query")(nfeat))
+                         name="linear_query")(feat_dst))
         ek = drop(Linear(self.hidden_dim, use_bias=False,
-                         name="linear_key")(nfeat))
+                         name="linear_key")(feat_src))
         if self.edge_encoder is not None:
             e = self.edge_encoder(efeat)
         else:
@@ -168,12 +184,13 @@ class SIRConvBase(nn.Module):
     def __call__(
         self,
         graph: GraphBatch,
-        feat: jax.Array,
+        feat,
         *,
         edge_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        feat_src, feat_dst = expand_as_pair(feat)
         return mp.sir_aggregate_concat(
-            graph, feat, feat, self.message_func, self.agg_type,
+            graph, feat_dst, feat_src, self.message_func, self.agg_type,
             edge_mask=edge_mask,
         )
 
@@ -189,13 +206,14 @@ class SIREConvBase(nn.Module):
     def __call__(
         self,
         graph: GraphBatch,
-        nfeat: jax.Array,
+        nfeat,
         efeat: jax.Array,
         *,
         edge_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        feat_src, feat_dst = expand_as_pair(nfeat)
         e = jnp.take(efeat, graph.edge_perm, axis=0)
         return mp.sir_aggregate_concat(
-            graph, nfeat, nfeat, self.message_func, self.agg_type,
+            graph, feat_dst, feat_src, self.message_func, self.agg_type,
             e=e, edge_mask=edge_mask,
         )

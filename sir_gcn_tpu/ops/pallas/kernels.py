@@ -253,6 +253,68 @@ def bucket_src_bwd(
     return res if emit_gz else (res[0], None)
 
 
+def bucket_src_bwd_fused(
+    both: jax.Array,      # [R*B, 2H] lane-concat of (eq[dst_e], g[dst_e])
+    ek_rows: jax.Array,   # [R, H]   per-src-row key values
+    scale: jax.Array,     # [R, B]   scale in src-slot order
+    budget: int,
+    activation: Callable[[jax.Array], jax.Array],
+    interpret: bool = False,
+    gz_dtype=None,
+):
+    """Fused-gather variant of :func:`bucket_src_bwd`: the caller gathers
+    ONE [N, 2H] lane-concatenated node table (eq in lanes [0, H), the
+    output cotangent g in lanes [H, 2H)) instead of two separate [N, H]
+    takes — XLA's row gather is per-row-overhead-bound on TPU
+    (ROADMAP: reorder experiment), so halving the row count nearly halves
+    the gather cost. Requires H % 128 == 0 so the in-kernel lane split is
+    vreg-aligned (the round-1 [N, 2, H] sublane-interleaved attempt
+    regressed on exactly this: bf16 packs 2 sublanes/vreg and stride-2
+    sublane selects need shuffles; a lane split at a 128 boundary is
+    free)."""
+    R, H = ek_rows.shape
+    assert both.shape[1] == 2 * H and H % 128 == 0, (both.shape, H)
+    B = budget
+    TR = _tile_rows(B)
+    grid = (_cdiv(R, TR),)
+    emit_gz = gz_dtype is not None
+
+    def kernel(both_ref, ek_ref, sc_ref, *out_refs):
+        blk = both_ref[:].astype(jnp.float32).reshape(TR, B, 2 * H)
+        z = blk[:, :, :H] + ek_ref[:][:, None, :]
+        _, vjp = jax.vjp(activation, z)
+        g_m = blk[:, :, H:] * sc_ref[:][:, :, None]
+        (g_z,) = vjp(g_m)
+        out_refs[0][:] = g_z.sum(axis=1)
+        if emit_gz:
+            out_refs[1][:] = g_z.reshape(TR * B, H).astype(gz_dtype)
+
+    out_specs = [pl.BlockSpec((TR, H), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((R, H), ek_rows.dtype)]
+    if emit_gz:
+        out_specs.append(pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((R * B, H), gz_dtype))
+
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR * B, 2 * H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(both, ek_rows, scale)
+    return res if emit_gz else (res[0], None)
+
+
 def bucket_bcast_act_reduce_bwd(
     ekg: jax.Array,       # [R*B, H]
     eq_rows: jax.Array,   # [R, H]

@@ -164,6 +164,7 @@ def make_sharded_sir_aggregate(
     mesh: Mesh,
     axis: str = "graph",
     use_pallas: bool = None,
+    feat_width: int = 16,
 ):
     """Build ``f(eq_sharded, ek_sharded) -> out_sharded`` (all [N_pad, H]
     row-sharded over ``axis``) with a hand-written scatter-free backward:
@@ -178,7 +179,10 @@ def make_sharded_sir_aggregate(
         from ..ops.ell import _activation_info
         from ..ops.pallas import pallas_available
 
-        elem, ok = _activation_info(activation, 16)
+        # probe at the real feature width when the caller provides it
+        # (a width-dependent activation could classify differently at a
+        # fixed small width)
+        elem, ok = _activation_info(activation, feat_width)
         use_pallas = pallas_available() and elem and ok
     if use_pallas:
         return make_sharded_sir_aggregate_pallas(sfg, activation, mesh,

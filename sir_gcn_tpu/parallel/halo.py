@@ -82,6 +82,14 @@ class HaloFastGraph:
     send_idx: jax.Array           # [S, S*Hmax] local rows to send
     edge_slice_idx: jax.Array     # [S, Emax] global edge id per local slot
     edge_slice_valid: jax.Array   # [S, Emax] 0/1
+    # edge-feature support (SIREConv on the halo path): local-edge ->
+    # dst-slot maps for both stages, interior membership, and the inverse
+    # of the edge slicing (global edge -> shard*Emax + local pos)
+    edge2dst_i: jax.Array         # [S, Emax] interior dst-slot per edge
+    edge2dst_b: jax.Array         # [S, Emax] boundary dst-slot per edge
+    edge_interior: jax.Array      # [S, Emax] 1.0 = valid interior edge
+    edge_valid: jax.Array         # [S, Emax] 1.0 = valid (non-pad) edge
+    edge_unslice: jax.Array       # [E_pad] global edge -> flat shard slot
     e_pad: int = dataclasses.field(metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     n_local: int = dataclasses.field(metadata=dict(static=True))
@@ -124,7 +132,7 @@ def build_halo_fast_graph(
     ranges. ``agg_type`` folds the *static* per-edge scale ('sym' degree
     norms, 'mean' 1/in-degree, 'sum' validity); pass a dynamic scale at
     call time to override (DropEdge)."""
-    assert agg_type in ("sum", "mean", "sym")
+    assert agg_type in ("sum", "mean", "sym", "max")
     assert graph.n_pad % n_shards == 0
     n_local = graph.n_pad // n_shards
     S = n_shards
@@ -134,8 +142,10 @@ def build_halo_fast_graph(
 
     from ..ops.ell import static_edge_scale
 
-    escale = static_edge_scale(agg_type, src, dst, valid, graph.in_deg,
-                               graph.out_deg).astype(np.float32)
+    # max has no degree scale — its static per-slot array is validity
+    escale = static_edge_scale(
+        agg_type if agg_type != "max" else "sum", src, dst, valid,
+        graph.in_deg, graph.out_deg).astype(np.float32)
 
     bounds = np.searchsorted(dst, np.arange(S + 1) * n_local)
     e_max = _pad8(int((bounds[1:] - bounds[:-1]).max(initial=1)))
@@ -215,6 +225,7 @@ def build_halo_fast_graph(
     sfd_i, sfd_b = [], []
     sdn_i, ssc_i, hdn, hsc = [], [], [], []
     eidx, evalid = [], []
+    e2d_i_all, e2d_b_all, eint_all, evld_all = [], [], [], []
     for r in range(S):
         lo, hi, src_g, dst_l, v_l, interior, boundary, owner = per_shard[r]
         n_e = hi - lo
@@ -240,6 +251,20 @@ def build_halo_fast_graph(
         eidx.append(idx)
         evalid.append((np.arange(e_max) < n_e).astype(np.float32))
 
+        pad = lambda a, fill=0: np.concatenate(
+            [a[:n_e], np.full(e_max - min(n_e, e_max), fill, a.dtype)])
+        e2d_i_all.append(pad(e2d_i))
+        e2d_b_all.append(pad(e2d_b))
+        eint_all.append(pad(interior.astype(np.float32)))
+        evld_all.append(pad(v_l.astype(np.float32)))
+
+    # inverse of the edge slicing: global edge -> r * e_max + local pos
+    owner_e = np.clip(
+        np.searchsorted(bounds, np.arange(graph.e_pad), side="right") - 1,
+        0, S - 1)
+    unslice = owner_e * e_max + np.minimum(
+        np.arange(graph.e_pad) - bounds[owner_e], e_max - 1)
+
     return HaloFastGraph(
         dst_plan_i=_stack_plans(dplans_i),
         dst_plan_b=_stack_plans(dplans_b),
@@ -259,6 +284,11 @@ def build_halo_fast_graph(
         send_idx=jnp.asarray(np.stack(send_all), jnp.int32),
         edge_slice_idx=jnp.asarray(np.stack(eidx), jnp.int32),
         edge_slice_valid=jnp.asarray(np.stack(evalid)),
+        edge2dst_i=jnp.asarray(np.stack(e2d_i_all), jnp.int32),
+        edge2dst_b=jnp.asarray(np.stack(e2d_b_all), jnp.int32),
+        edge_interior=jnp.asarray(np.stack(eint_all)),
+        edge_valid=jnp.asarray(np.stack(evld_all)),
+        edge_unslice=jnp.asarray(unslice, jnp.int32),
         e_pad=graph.e_pad,
         n_shards=S,
         n_local=n_local,
@@ -277,8 +307,8 @@ class HaloGraph:
     dispatches on this type, so ``SIRConv``-based models run unchanged
     with node-sharded features — the TPU-native analog of swapping the
     graph object, the way the reference swaps DGLGraphs. Edge features
-    (SIREConv) and max aggregation are not supported on this path yet
-    (the dispatch raises; use the GSPMD path for those)."""
+    (SIREConv, ``models/conv.py:111``) and max aggregation
+    (``models/conv.py:47``) run the XLA halo variants."""
 
     graph: object                 # GraphBatch (global)
     hfg: HaloFastGraph
@@ -362,6 +392,14 @@ def build_halo_graph(graph, n_shards: int, mesh: Mesh,
                      mesh=mesh, axis=axis)
 
 
+def _plan_spec(hfg: HaloFastGraph, axis: str):
+    """shard_map spec for the stacked plan pytree: every leaf is sharded
+    over its leading shard axis except ``edge_unslice``, which is a global
+    [E_pad] map consumed only outside shard_map (replicated)."""
+    spec = jax.tree_util.tree_map(lambda _: P(axis), hfg)
+    return dataclasses.replace(spec, edge_unslice=P())
+
+
 _BUILDER_CACHE: dict = {}
 
 
@@ -382,23 +420,42 @@ def _cached(kind, build, hfg, activation, extra=()):
 
 
 def halo_sir_aggregate(hg: HaloGraph, eq, ek, activation, agg_type,
+                       e=None, w_relation=None, b_relation=None,
                        edge_mask=None):
-    """The ``sir_aggregate`` implementation for :class:`HaloGraph`
-    (linear aggregators). With no dynamic mask the host-precomputed
-    per-slot scales apply (mean's division folded in); with a DropEdge
-    mask the dynamic-scale variant runs and mean divides by the dynamic
-    counts (single-device semantics, distributed)."""
-    assert agg_type in ("sum", "mean", "sym"), \
-        f"halo path supports linear aggregators, got {agg_type}"
+    """The ``sir_aggregate`` implementation for :class:`HaloGraph`.
+
+    Linear aggregators with no dynamic mask consume the host-precomputed
+    per-slot scales (mean's division folded in); a DropEdge mask engages
+    the dynamic-scale variant (mean then divides by dynamic counts —
+    single-device semantics, distributed). ``e`` (SIREConv edge features,
+    reference ``models/conv.py:111``) and ``agg_type='max'`` (per-edge
+    W_R before the reduce, ``models/conv.py:47``) are supported via the
+    XLA halo variants."""
+    from ..ops.message_passing import get_edge_dtype
+
+    assert agg_type in ("sum", "mean", "sym", "max"), agg_type
     assert agg_type == hg.hfg.agg_type, (
         f"HaloGraph was built for agg_type={hg.hfg.agg_type!r}, "
         f"conv uses {agg_type!r}")
     g = hg.graph
+    h = eq.shape[-1]
+    we = e is not None
+    extra = (hg.axis, we, h, get_edge_dtype())
+    if agg_type == "max":
+        f = _cached("max", lambda: make_halo_sir_aggregate_max(
+            hg.hfg, activation, hg.mesh, hg.axis, with_edge=we),
+            hg.hfg, activation, extra)
+        valid = g.edge_mask if edge_mask is None else jnp.logical_and(
+            g.edge_mask, edge_mask)
+        b = (b_relation if b_relation is not None
+             else jnp.zeros((w_relation.shape[1],), eq.dtype))
+        e_in = e if we else jnp.zeros((1, 1), eq.dtype)
+        return f(eq, ek, e_in, valid.astype(jnp.float32), w_relation, b)
     if edge_mask is None:
         f = _cached("static", lambda: make_halo_sir_aggregate(
-            hg.hfg, activation, hg.mesh, hg.axis), hg.hfg, activation,
-            (hg.axis,))
-        return f(eq, ek)
+            hg.hfg, activation, hg.mesh, hg.axis, with_edge=we,
+            feat_width=h), hg.hfg, activation, extra)
+        return f(eq, ek, e) if we else f(eq, ek)
     valid = jnp.logical_and(g.edge_mask, edge_mask)
     scale = valid.astype(jnp.float32)
     if agg_type == "sym":
@@ -407,9 +464,9 @@ def halo_sir_aggregate(hg: HaloGraph, eq, ek, activation, agg_type,
         scale = scale * (jnp.take(out_norm, g.src)
                          * jnp.take(in_norm, g.dst))
     f = _cached("dynamic", lambda: make_halo_sir_aggregate(
-        hg.hfg, activation, hg.mesh, hg.axis, dynamic_scale=True),
-        hg.hfg, activation, (hg.axis,))
-    out = f(eq, ek, scale)
+        hg.hfg, activation, hg.mesh, hg.axis, dynamic_scale=True,
+        with_edge=we, feat_width=h), hg.hfg, activation, extra)
+    out = f(eq, ek, e, scale) if we else f(eq, ek, scale)
     if agg_type == "mean":
         counts_fn = _cached("counts", lambda: make_halo_counts(
             hg.hfg, hg.mesh, hg.axis), hg.hfg, activation, (hg.axis,))
@@ -435,6 +492,19 @@ def _exchange(ek_l, hfg_l, axis: str):
                               tiled=True)
 
 
+def _to_shard_edges(hfg: HaloFastGraph, e):
+    """[E_pad, H] global sorted-order edge features -> [S*Emax, H] shard
+    slices (the edge analog of :func:`_to_shard_scale`)."""
+    return (jnp.take(e, hfg.edge_slice_idx.reshape(-1), axis=0)
+            * hfg.edge_slice_valid.reshape(-1)[:, None])
+
+
+def _unshard_edge_grad(hfg: HaloFastGraph, g_e_sh):
+    """[S*Emax, H] per-shard edge cotangents -> [E_pad, H] global sorted
+    order via the host-precomputed inverse map (scatter-free)."""
+    return jnp.take(g_e_sh, hfg.edge_unslice, axis=0)
+
+
 def make_halo_sir_aggregate(
     hfg: HaloFastGraph,
     activation: Callable[[jax.Array], jax.Array],
@@ -442,33 +512,40 @@ def make_halo_sir_aggregate(
     axis: str = "graph",
     dynamic_scale: bool = False,
     use_pallas: bool = None,
+    with_edge: bool = False,
+    feat_width: int = 16,
 ):
-    """Build ``f(eq, ek[, edge_scale]) -> out`` over the halo fast path.
+    """Build ``f(eq, ek, e[, edge_scale]) -> out`` over the halo fast path.
 
     ``use_pallas=None`` auto-selects the fused-kernel variant
     (:func:`make_halo_sir_aggregate_pallas`) on TPU for elementwise,
-    closure-free activations.
+    closure-free activations (probed at ``feat_width``); edge-feature
+    aggregation (``with_edge=True``, the SIREConv contract — reference
+    ``models/conv.py:111,113``) runs the XLA variant.
 
-    eq/ek/out are [N_pad, H] row-sharded over ``axis``. With
-    ``dynamic_scale=True`` the third argument is the same [E_pad]
-    per-edge scale the single-device fast path takes (sym norms x
-    DropEdge mask ...); it REPLACES the static folded scale, and for
-    ``agg_type='mean'`` the caller divides by dynamic counts (see
-    :func:`halo_counts`). Differentiable wrt eq/ek; scale is
-    non-differentiable (degree/mask-derived in every caller).
+    eq/ek/out are [N_pad, H] row-sharded over ``axis``; ``e`` is the
+    [E_pad, H] edge projection in global sorted edge order (or a dummy
+    when ``with_edge=False``). With ``dynamic_scale=True`` the last
+    argument is the same [E_pad] per-edge scale the single-device fast
+    path takes (sym norms x DropEdge mask ...); it REPLACES the static
+    folded scale, and for ``agg_type='mean'`` the caller divides by
+    dynamic counts (see :func:`make_halo_counts`). Differentiable wrt
+    eq/ek/e; scale is non-differentiable (degree/mask-derived in every
+    caller).
     """
     if use_pallas is None:
         from ..ops.ell import _activation_info
         from ..ops.pallas import pallas_available
 
-        elem, ok = _activation_info(activation, 16)
-        use_pallas = pallas_available() and elem and ok
+        elem, ok = _activation_info(activation, feat_width)
+        use_pallas = (pallas_available() and elem and ok
+                      and not with_edge)
     if use_pallas:
         return make_halo_sir_aggregate_pallas(
             hfg, activation, mesh, axis, dynamic_scale=dynamic_scale)
     S, Hm = hfg.n_shards, hfg.h_max
     node_spec = P(axis)
-    plan_spec = jax.tree_util.tree_map(lambda _: P(axis), hfg)
+    plan_spec = _plan_spec(hfg, axis)
 
     def slot_scales(scale_l, hfg_l, dpi, dpb):
         if dynamic_scale:
@@ -478,20 +555,27 @@ def make_halo_sir_aggregate(
             s_i, s_b = hfg_l.scale_i[0], hfg_l.scale_b[0]
         return s_i, s_b
 
-    def local_fwd(eq_l, ek_l, scale_l, hfg_l):
+    def slot_zs(eq_l, ek_l, e_l, halo, hfg_l, dpi, dpb):
+        z_i = dpi.spread(eq_l) + jnp.take(ek_l, hfg_l.slot_src_local[0],
+                                          axis=0)
+        z_b = dpb.spread(eq_l) + jnp.take(halo, hfg_l.slot_src_halo[0],
+                                          axis=0)
+        if with_edge:
+            z_i = z_i + dpi.gather_edges(e_l)
+            z_b = z_b + dpb.gather_edges(e_l)
+        return z_i, z_b
+
+    def local_fwd(eq_l, ek_l, e_l, scale_l, hfg_l):
         dpi = _unstack_plan(hfg_l.dst_plan_i)
         dpb = _unstack_plan(hfg_l.dst_plan_b)
         s_i, s_b = slot_scales(scale_l, hfg_l, dpi, dpb)
         halo = _exchange(ek_l, hfg_l, axis)
         # interior term has no dependency on the collective -> overlaps
-        z_i = dpi.spread(eq_l) + jnp.take(ek_l, hfg_l.slot_src_local[0],
-                                          axis=0)
-        out = dpi.reduce_slots_sum(activation(z_i) * s_i[:, None])
-        z_b = dpb.spread(eq_l) + jnp.take(halo, hfg_l.slot_src_halo[0],
-                                          axis=0)
-        return out + dpb.reduce_slots_sum(activation(z_b) * s_b[:, None])
+        z_i, z_b = slot_zs(eq_l, ek_l, e_l, halo, hfg_l, dpi, dpb)
+        return (dpi.reduce_slots_sum(activation(z_i) * s_i[:, None])
+                + dpb.reduce_slots_sum(activation(z_b) * s_b[:, None]))
 
-    def local_bwd(g_l, eq_l, ek_l, scale_l, hfg_l):
+    def local_bwd(g_l, eq_l, ek_l, e_l, scale_l, hfg_l):
         dpi = _unstack_plan(hfg_l.dst_plan_i)
         dpb = _unstack_plan(hfg_l.dst_plan_b)
         spi = _unstack_plan(hfg_l.src_plan_i)
@@ -500,17 +584,15 @@ def make_halo_sir_aggregate(
         s_i, s_b = slot_scales(scale_l, hfg_l, dpi, dpb)
         halo = _exchange(ek_l, hfg_l, axis)
 
-        z_i = dpi.spread(eq_l) + jnp.take(ek_l, hfg_l.slot_src_local[0],
-                                          axis=0)
-        z_b = dpb.spread(eq_l) + jnp.take(halo, hfg_l.slot_src_halo[0],
-                                          axis=0)
+        z_i, z_b = slot_zs(eq_l, ek_l, e_l, halo, hfg_l, dpi, dpb)
         _, vjp_i = jax.vjp(activation, z_i)
         _, vjp_b = jax.vjp(activation, z_b)
         (g_z_i,) = vjp_i(dpi.spread(g_l) * s_i[:, None])
         (g_z_b,) = vjp_b(dpb.spread(g_l) * s_b[:, None])
+        g_z_i = g_z_i * dpi.slot_valid[:, None]
+        g_z_b = g_z_b * dpb.slot_valid[:, None]
 
-        g_eq = (dpi.reduce_slots_sum(g_z_i * dpi.slot_valid[:, None])
-                + dpb.reduce_slots_sum(g_z_b * dpb.slot_valid[:, None]))
+        g_eq = dpi.reduce_slots_sum(g_z_i) + dpb.reduce_slots_sum(g_z_b)
 
         g_ek = spi.reduce_slots_sum(
             jnp.take(g_z_i, hfg_l.src_from_dst_i[0], axis=0)
@@ -524,43 +606,87 @@ def make_halo_sir_aggregate(
                                  concat_axis=0, tiled=True)
         g_ek = g_ek + rp.reduce_slots_sum(
             rp.gather_edges(ret) * rp.slot_valid[:, None])
-        return g_eq, g_ek
+        if with_edge:
+            g_e_l = (jnp.take(g_z_i, hfg_l.edge2dst_i[0], axis=0)
+                     * hfg_l.edge_interior[0][:, None]
+                     + jnp.take(g_z_b, hfg_l.edge2dst_b[0], axis=0)
+                     * (1.0 - hfg_l.edge_interior[0])[:, None]
+                     ) * hfg_l.edge_valid[0][:, None]
+        else:
+            g_e_l = jnp.zeros((hfg_l.edge_valid.shape[1], 1),
+                              jnp.float32)
+        return g_eq, g_ek, g_e_l
 
     fwd_sm = jax.jit(shard_map(
         local_fwd, mesh=mesh,
-        in_specs=(node_spec, node_spec, node_spec, plan_spec),
+        in_specs=(node_spec, node_spec, node_spec, node_spec, plan_spec),
         out_specs=node_spec, check_vma=False))
     bwd_sm = jax.jit(shard_map(
         local_bwd, mesh=mesh,
-        in_specs=(node_spec, node_spec, node_spec, node_spec, plan_spec),
-        out_specs=(node_spec, node_spec), check_vma=False))
+        in_specs=(node_spec, node_spec, node_spec, node_spec, node_spec,
+                  plan_spec),
+        out_specs=(node_spec, node_spec, node_spec), check_vma=False))
 
-    if dynamic_scale:
+    dummy_e = jnp.zeros((S * hfg.e_max, 1), jnp.float32)
+    dummy_s = jnp.zeros((S * hfg.e_max,), jnp.float32)
+
+    # arity matches the call contract: e appears only when with_edge,
+    # edge_scale only when dynamic_scale (old callers stay valid)
+    if dynamic_scale and with_edge:
+        @jax.custom_vjp
+        def f(eq, ek, e, edge_scale):
+            return fwd_sm(eq, ek, _to_shard_edges(hfg, e),
+                          _to_shard_scale(hfg, edge_scale), hfg)
+
+        def f_fwd(eq, ek, e, edge_scale):
+            s = _to_shard_scale(hfg, edge_scale)
+            e_sh = _to_shard_edges(hfg, e)
+            return fwd_sm(eq, ek, e_sh, s, hfg), (eq, ek, e_sh, s)
+
+        def f_bwd(res, g):
+            eq, ek, e_sh, s = res
+            g_eq, g_ek, g_e_sh = bwd_sm(g, eq, ek, e_sh, s, hfg)
+            return (g_eq, g_ek, _unshard_edge_grad(hfg, g_e_sh),
+                    jnp.zeros((hfg.e_pad,), s.dtype))
+    elif with_edge:
+        @jax.custom_vjp
+        def f(eq, ek, e):
+            return fwd_sm(eq, ek, _to_shard_edges(hfg, e), dummy_s, hfg)
+
+        def f_fwd(eq, ek, e):
+            e_sh = _to_shard_edges(hfg, e)
+            return fwd_sm(eq, ek, e_sh, dummy_s, hfg), (eq, ek, e_sh)
+
+        def f_bwd(res, g):
+            eq, ek, e_sh = res
+            g_eq, g_ek, g_e_sh = bwd_sm(g, eq, ek, e_sh, dummy_s, hfg)
+            return g_eq, g_ek, _unshard_edge_grad(hfg, g_e_sh)
+    elif dynamic_scale:
         @jax.custom_vjp
         def f(eq, ek, edge_scale):
-            return fwd_sm(eq, ek, _to_shard_scale(hfg, edge_scale), hfg)
+            return fwd_sm(eq, ek, dummy_e,
+                          _to_shard_scale(hfg, edge_scale), hfg)
 
         def f_fwd(eq, ek, edge_scale):
             s = _to_shard_scale(hfg, edge_scale)
-            return fwd_sm(eq, ek, s, hfg), (eq, ek, s)
+            return fwd_sm(eq, ek, dummy_e, s, hfg), (eq, ek, s)
 
         def f_bwd(res, g):
             eq, ek, s = res
-            g_eq, g_ek = bwd_sm(g, eq, ek, s, hfg)
+            g_eq, g_ek, _ = bwd_sm(g, eq, ek, dummy_e, s, hfg)
             return g_eq, g_ek, jnp.zeros((hfg.e_pad,), s.dtype)
     else:
-        dummy = jnp.zeros((S * hfg.e_max,), jnp.float32)
-
         @jax.custom_vjp
         def f(eq, ek):
-            return fwd_sm(eq, ek, dummy, hfg)
+            return fwd_sm(eq, ek, dummy_e, dummy_s, hfg)
 
         def f_fwd(eq, ek):
-            return fwd_sm(eq, ek, dummy, hfg), (eq, ek)
+            return fwd_sm(eq, ek, dummy_e, dummy_s, hfg), (eq, ek)
 
         def f_bwd(res, g):
             eq, ek = res
-            return bwd_sm(g, eq, ek, dummy, hfg)
+            g_eq, g_ek, _ = bwd_sm(g, eq, ek, dummy_e, dummy_s, hfg)
+            return g_eq, g_ek
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -591,7 +717,7 @@ def make_halo_sir_aggregate_pallas(
         edge_dtype = get_edge_dtype()
     S, Hm = hfg.n_shards, hfg.h_max
     node_spec = P(axis)
-    plan_spec = jax.tree_util.tree_map(lambda _: P(axis), hfg)
+    plan_spec = _plan_spec(hfg, axis)
     offs_di = _bucket_offsets(hfg.dst_plan_i.buckets1)
     offs_db = _bucket_offsets(hfg.dst_plan_b.buckets1)
     offs_si = _bucket_offsets(hfg.src_plan_i.buckets1)
@@ -718,12 +844,156 @@ def make_halo_sir_aggregate_pallas(
     return f
 
 
+def make_halo_sir_aggregate_max(
+    hfg: HaloFastGraph,
+    activation: Callable[[jax.Array], jax.Array],
+    mesh: Mesh,
+    axis: str = "graph",
+    with_edge: bool = False,
+):
+    """Max-aggregation halo path (reference ``models/conv.py:47``: W_R per
+    edge *before* the reduce):
+
+        out[u] = max_e act(eq[u] + ek[src_e] [+ e_e]) @ W_R + b
+
+    ``f(eq, ek, e, edge_scale, w, b) -> [N_pad, O]``; ``edge_scale`` is
+    the [E_pad] validity (DropEdge folds in), slots with scale <= 0 are
+    excluded, empty nodes zero-fill (DGL semantics). Backward routes
+    cotangents through the argmax slots (ties split equally, across the
+    interior/boundary stages and shards alike); W_R/b grads ``psum`` over
+    the mesh axis. XLA variant only — max is never the perf-critical
+    aggregation (ROADMAP), so no fused-kernel twin."""
+    S = hfg.n_shards
+    node_spec = P(axis)
+    plan_spec = _plan_spec(hfg, axis)
+
+    def stage_inputs(eq_l, ek_l, e_l, scale_l, hfg_l, dpi, dpb):
+        halo = _exchange(ek_l, hfg_l, axis)
+        z_i = dpi.spread(eq_l) + jnp.take(ek_l, hfg_l.slot_src_local[0],
+                                          axis=0)
+        z_b = dpb.spread(eq_l) + jnp.take(halo, hfg_l.slot_src_halo[0],
+                                          axis=0)
+        if with_edge:
+            z_i = z_i + dpi.gather_edges(e_l)
+            z_b = z_b + dpb.gather_edges(e_l)
+        v_i = (dpi.gather_edges(scale_l) * dpi.slot_valid) > 0
+        v_b = (dpb.gather_edges(scale_l) * dpb.slot_valid) > 0
+        return z_i, z_b, v_i, v_b
+
+    def local_fwd(eq_l, ek_l, e_l, scale_l, w, b, hfg_l):
+        dpi = _unstack_plan(hfg_l.dst_plan_i)
+        dpb = _unstack_plan(hfg_l.dst_plan_b)
+        z_i, z_b, v_i, v_b = stage_inputs(eq_l, ek_l, e_l, scale_l,
+                                          hfg_l, dpi, dpb)
+        m_i = activation(z_i) @ w + b
+        m_b = activation(z_b) @ w + b
+        neg = jnp.finfo(m_i.dtype).min
+        rows_i = dpi.reduce_slots_max(jnp.where(v_i[:, None], m_i, neg))
+        rows_b = dpb.reduce_slots_max(jnp.where(v_b[:, None], m_b, neg))
+        out = jnp.maximum(rows_i, rows_b)
+        has = (dpi.reduce_slots_sum(v_i.astype(m_i.dtype)[:, None])
+               + dpb.reduce_slots_sum(v_b.astype(m_b.dtype)[:, None])) > 0
+        return jnp.where(has & (out > neg / 2), out, 0.0)
+
+    def local_bwd(g_l, out_l, eq_l, ek_l, e_l, scale_l, w, b, hfg_l):
+        dpi = _unstack_plan(hfg_l.dst_plan_i)
+        dpb = _unstack_plan(hfg_l.dst_plan_b)
+        spi = _unstack_plan(hfg_l.src_plan_i)
+        hp = _unstack_plan(hfg_l.halo_plan)
+        rp = _unstack_plan(hfg_l.ret_plan)
+        z_i, z_b, v_i, v_b = stage_inputs(eq_l, ek_l, e_l, scale_l,
+                                          hfg_l, dpi, dpb)
+        a_i, vjp_i = jax.vjp(activation, z_i)
+        a_b, vjp_b = jax.vjp(activation, z_b)
+        m_i = a_i @ w + b
+        m_b = a_b @ w + b
+        # winners per (slot, o); ties split equally across both stages
+        win_i = ((m_i == dpi.spread(out_l)) & v_i[:, None]).astype(
+            m_i.dtype)
+        win_b = ((m_b == dpb.spread(out_l)) & v_b[:, None]).astype(
+            m_b.dtype)
+        counts = (dpi.reduce_slots_sum(win_i)
+                  + dpb.reduce_slots_sum(win_b))
+        gsc = g_l / jnp.maximum(counts, 1.0)
+        g_m_i = dpi.spread(gsc) * win_i
+        g_m_b = dpb.spread(gsc) * win_b
+
+        g_w = jax.lax.psum(a_i.T @ g_m_i + a_b.T @ g_m_b, axis)
+        g_b = jax.lax.psum(g_m_i.sum(0) + g_m_b.sum(0), axis)
+        (g_z_i,) = vjp_i(g_m_i @ w.T)
+        (g_z_b,) = vjp_b(g_m_b @ w.T)
+        g_z_i = g_z_i * dpi.slot_valid[:, None]
+        g_z_b = g_z_b * dpb.slot_valid[:, None]
+
+        g_eq = dpi.reduce_slots_sum(g_z_i) + dpb.reduce_slots_sum(g_z_b)
+        g_ek = spi.reduce_slots_sum(
+            jnp.take(g_z_i, hfg_l.src_from_dst_i[0], axis=0)
+            * spi.slot_valid[:, None])
+        g_halo = hp.reduce_slots_sum(
+            jnp.take(g_z_b, hfg_l.src_from_dst_b[0], axis=0)
+            * hp.slot_valid[:, None])
+        ret = jax.lax.all_to_all(g_halo, axis, split_axis=0,
+                                 concat_axis=0, tiled=True)
+        g_ek = g_ek + rp.reduce_slots_sum(
+            rp.gather_edges(ret) * rp.slot_valid[:, None])
+        if with_edge:
+            g_e_l = (jnp.take(g_z_i, hfg_l.edge2dst_i[0], axis=0)
+                     * hfg_l.edge_interior[0][:, None]
+                     + jnp.take(g_z_b, hfg_l.edge2dst_b[0], axis=0)
+                     * (1.0 - hfg_l.edge_interior[0])[:, None]
+                     ) * hfg_l.edge_valid[0][:, None]
+        else:
+            g_e_l = jnp.zeros((hfg_l.edge_valid.shape[1], 1),
+                              jnp.float32)
+        return g_eq, g_ek, g_e_l, g_w, g_b
+
+    fwd_sm = jax.jit(shard_map(
+        local_fwd, mesh=mesh,
+        in_specs=(node_spec, node_spec, node_spec, node_spec, P(), P(),
+                  plan_spec),
+        out_specs=node_spec, check_vma=False))
+    bwd_sm = jax.jit(shard_map(
+        local_bwd, mesh=mesh,
+        in_specs=(node_spec, node_spec, node_spec, node_spec, node_spec,
+                  node_spec, P(), P(), plan_spec),
+        out_specs=(node_spec, node_spec, node_spec, P(), P()),
+        check_vma=False))
+
+    def shard_e(e):
+        if with_edge:
+            return _to_shard_edges(hfg, e)
+        return jnp.zeros((S * hfg.e_max, 1), jnp.float32)
+
+    @jax.custom_vjp
+    def f(eq, ek, e, edge_scale, w, b):
+        return fwd_sm(eq, ek, shard_e(e), _to_shard_scale(hfg, edge_scale),
+                      w, b, hfg)
+
+    def f_fwd(eq, ek, e, edge_scale, w, b):
+        s = _to_shard_scale(hfg, edge_scale)
+        e_sh = shard_e(e)
+        out = fwd_sm(eq, ek, e_sh, s, w, b, hfg)
+        return out, (eq, ek, e, e_sh, s, w, b, out)
+
+    def f_bwd(res, g):
+        eq, ek, e, e_sh, s, w, b, out = res
+        g_eq, g_ek, g_e_sh, g_w, g_b = bwd_sm(g, out, eq, ek, e_sh, s,
+                                              w, b, hfg)
+        g_e = (_unshard_edge_grad(hfg, g_e_sh) if with_edge
+               else jnp.zeros_like(e))
+        return (g_eq, g_ek, g_e, jnp.zeros((hfg.e_pad,), s.dtype),
+                g_w, g_b)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def make_halo_counts(hfg: HaloFastGraph, mesh: Mesh, axis: str = "graph"):
     """Per-dst dynamic edge counts for mean aggregation with a dynamic
     scale: ``counts(edge_scale)[u] = sum of scale over u's in-edges``
     (purely local — no communication)."""
     node_spec = P(axis)
-    plan_spec = jax.tree_util.tree_map(lambda _: P(axis), hfg)
+    plan_spec = _plan_spec(hfg, axis)
     S = hfg.n_shards
 
     def local(scale_l, hfg_l):

@@ -7,35 +7,48 @@ Call :func:`initialize_multihost` once at program start on every host
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 
 from .mesh import make_mesh
 
+# env vars whose presence indicates a real cluster launch; bare
+# auto-initialize is only attempted when one of these is set, because
+# partially-populated cluster envs can make initialize() BLOCK on a
+# coordinator connection instead of raising (hanging single-process runs)
+_CLUSTER_ENV_VARS = (
+    "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+    "SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE",
+)
+
 
 def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: bool = False,
 ) -> dict:
     """Initialize jax.distributed and report the global topology.
 
-    With no arguments, jax.distributed.initialize() runs its own cluster
-    auto-detection (TPU pod metadata / standard env vars); if none is
-    found the runtime stays single-process. Explicit arguments override
-    auto-detection."""
+    Explicit arguments always initialize. With no arguments,
+    auto-detection runs only when ``auto=True`` or a known cluster env
+    var is present (see ``_CLUSTER_ENV_VARS``); otherwise the runtime
+    stays single-process without touching jax.distributed."""
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    elif num_processes is None:
+    elif num_processes is None and (
+            auto or any(v in os.environ for v in _CLUSTER_ENV_VARS)):
         try:
             jax.distributed.initialize()
         except Exception:
-            pass  # no cluster environment detected: single-process
+            pass  # no usable cluster environment: single-process
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

@@ -172,3 +172,92 @@ def test_param_count_matches_reference_formula():
     params = conv.init(jax.random.PRNGKey(0), g, feat)
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     assert n == (7 * 11 + 11) + (7 * 11) + (11 * 3 + 3)
+
+
+@pytest.mark.parametrize("agg", ["sum", "max", "sym"])
+def test_sirconv_bipartite_pair_matches_oracle(rng, agg):
+    """(feat_src, feat_dst) tuple input (reference expand_as_pair,
+    models/conv.py:4,59): key side from src features, query side from dst
+    features."""
+    g, src, dst = make_graph(rng)
+    feat_src = rng.normal(size=(16, 6)).astype(np.float32)
+    feat_dst = rng.normal(size=(16, 6)).astype(np.float32)
+    conv = SIRConv(hidden_dim=8, output_dim=5, activation=jnp.tanh,
+                   agg_type=agg)
+    pair = (jnp.asarray(feat_src), jnp.asarray(feat_dst))
+    params = conv.init(jax.random.PRNGKey(0), g, pair)
+    out = conv.apply(params, g, pair)
+
+    p = params["params"]
+    wq = np.asarray(p["linear_query"]["Dense_0"]["kernel"])
+    bq = np.asarray(p["linear_query"]["Dense_0"]["bias"])
+    wk = np.asarray(p["linear_key"]["Dense_0"]["kernel"])
+    if agg == "max":
+        wr = np.asarray(p["relation_kernel"])
+        br = np.asarray(p["relation_bias"])
+    else:
+        wr = np.asarray(p["linear_relation"]["Dense_0"]["kernel"])
+        br = np.asarray(p["linear_relation"]["Dense_0"]["bias"])
+    eq = feat_dst @ wq + bq
+    ek = feat_src @ wk
+    n = 12
+    in_deg = np.bincount(dst, minlength=n).astype(np.float64)
+    out_deg = np.bincount(src, minlength=n).astype(np.float64)
+    in_norm = np.maximum(in_deg, 1) ** -0.5
+    out_norm = np.maximum(out_deg, 1) ** -0.5
+    msgs = [[] for _ in range(n)]
+    for s, d in zip(src, dst):
+        m = np.tanh(eq[d] + ek[s])
+        if agg == "max":
+            m = m @ wr + br
+        elif agg == "sym":
+            m = m * out_norm[s] * in_norm[d]
+        msgs[d].append(m)
+    exp = np.zeros((n, wr.shape[1]))
+    for u in range(n):
+        if msgs[u]:
+            arr = np.stack(msgs[u])
+            red = arr.max(0) if agg == "max" else arr.sum(0)
+        else:
+            red = np.zeros(wr.shape[1] if agg == "max" else wr.shape[0])
+        exp[u] = red if agg == "max" else red @ wr + br
+    np.testing.assert_allclose(np.asarray(out)[:12], exp, atol=1e-4)
+
+    # single-array input must equal the (feat, feat) pair
+    both = jnp.asarray(feat_src)
+    o1 = conv.apply(params, g, both)
+    o2 = conv.apply(params, g, (both, both))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_sireconv_and_base_bipartite_pairs(rng):
+    """Tuple input on SIREConv and the Base forms: pair == (feat, feat)
+    consistency plus src/dst sensitivity."""
+    g, src, dst = make_graph(rng)
+    f1 = jnp.asarray(rng.normal(size=(16, 6)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(16, 6)), jnp.float32)
+    ef = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+
+    econv = SIREConv(hidden_dim=8, output_dim=5, activation=jnp.tanh)
+    params = econv.init(jax.random.PRNGKey(0), g, (f1, f2), ef)
+    out_pair = econv.apply(params, g, (f1, f1), ef)
+    out_single = econv.apply(params, g, f1, ef)
+    np.testing.assert_allclose(np.asarray(out_pair),
+                               np.asarray(out_single))
+    assert not np.allclose(np.asarray(econv.apply(params, g, (f1, f2), ef)),
+                           np.asarray(out_single))
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, g_, x):
+            return SIRConvBase(
+                message_func=lambda m: MLP(
+                    12, 8, 5, 2, 0.0, "none", jnp.tanh,
+                    include_last=False, with_graph=False)(m),
+                agg_type="sum")(g_, x)
+
+    w = Wrap()
+    wp = w.init(jax.random.PRNGKey(1), g, (f1, f2))
+    o_pair = w.apply(wp, g, (f1, f1))
+    o_single = w.apply(wp, g, f1)
+    np.testing.assert_allclose(np.asarray(o_pair), np.asarray(o_single))

@@ -233,3 +233,100 @@ def test_halo_pallas_matches_reference(rng, agg, dynamic):
     for a, b in zip(got_g, ref_g):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("agg", ["sum", "sym", "mean"])
+@pytest.mark.parametrize("dynamic", [False, True])
+def test_halo_edge_features_matches_reference(rng, agg, dynamic):
+    """SIREConv on the halo path (reference models/conv.py:111: edge term
+    inside sigma): forward + grads wrt eq/ek/e vs the single-device CSR
+    reference, static and DropEdge-dynamic scales, via the HaloGraph
+    dispatch."""
+    from sir_gcn_tpu.parallel.halo import build_halo_graph
+
+    n, e, h = 256, 2048, 8
+    src, dst = _locality_graph(rng, n, e)
+    g = build_graph(src, dst, n, n_pad=256, e_pad=2048)
+    mesh = make_mesh((8,), ("graph",))
+    hg = build_halo_graph(g, 8, mesh, agg_type=agg, max_budget=16)
+
+    eq = jnp.asarray(rng.normal(size=(256, h)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(256, h)), jnp.float32)
+    ef = jnp.asarray(rng.normal(size=(2048, h)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, h)), jnp.float32)
+    keep = (jnp.asarray(rng.random(2048) < 0.7) if dynamic else None)
+
+    expected = sir_aggregate(g, eq, ek, jnp.tanh, agg, e=ef,
+                             edge_mask=keep)
+    sh = NamedSharding(mesh, P("graph"))
+    eq_s, ek_s = jax.device_put(eq, sh), jax.device_put(ek, sh)
+    got = sir_aggregate(hg, eq_s, ek_s, jnp.tanh, agg, e=ef,
+                        edge_mask=keep)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=2e-4, rtol=1e-4)
+
+    def loss(graph):
+        def inner(a, b, c):
+            return jnp.sum(sir_aggregate(graph, a, b, jnp.tanh, agg,
+                                         e=c, edge_mask=keep) * w)
+        return inner
+
+    ref_g = jax.grad(loss(g), argnums=(0, 1, 2))(eq, ek, ef)
+    got_g = jax.jit(jax.grad(loss(hg), argnums=(0, 1, 2)))(eq_s, ek_s, ef)
+    for a, b in zip(got_g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("with_edge", [False, True])
+@pytest.mark.parametrize("dynamic", [False, True])
+def test_halo_max_matches_reference(rng, with_edge, dynamic):
+    """max aggregation on the halo path (reference models/conv.py:47:
+    per-edge W_R before the reduce): forward + grads wrt eq/ek/e/W_R/b
+    vs the single-device reference, incl. empty-node zero fill."""
+    from sir_gcn_tpu.parallel.halo import build_halo_graph
+
+    n, e, h, o = 256, 2048, 8, 6
+    src, dst = _locality_graph(rng, n, e)
+    # leave some nodes with no in-edges to exercise the zero fill
+    dst = np.where(dst % 16 == 3, (dst + 1) % n, dst)
+    g = build_graph(src, dst, n, n_pad=256, e_pad=2048)
+    mesh = make_mesh((8,), ("graph",))
+    hg = build_halo_graph(g, 8, mesh, agg_type="max", max_budget=16)
+
+    eq = jnp.asarray(rng.normal(size=(256, h)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(256, h)), jnp.float32)
+    ef = (jnp.asarray(rng.normal(size=(2048, h)), jnp.float32)
+          if with_edge else None)
+    wr = jnp.asarray(rng.normal(size=(h, o)), jnp.float32)
+    br = jnp.asarray(rng.normal(size=(o,)), jnp.float32)
+    wloss = jnp.asarray(rng.normal(size=(256, o)), jnp.float32)
+    keep = (jnp.asarray(rng.random(2048) < 0.7) if dynamic else None)
+
+    expected = sir_aggregate(g, eq, ek, jnp.tanh, "max", e=ef,
+                             w_relation=wr, b_relation=br,
+                             edge_mask=keep)
+    sh = NamedSharding(mesh, P("graph"))
+    eq_s, ek_s = jax.device_put(eq, sh), jax.device_put(ek, sh)
+    got = sir_aggregate(hg, eq_s, ek_s, jnp.tanh, "max", e=ef,
+                        w_relation=wr, b_relation=br, edge_mask=keep)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=2e-4, rtol=1e-4)
+
+    def loss(graph):
+        def inner(a, b, c, wr_, br_):
+            return jnp.sum(sir_aggregate(
+                graph, a, b, jnp.tanh, "max",
+                e=(c if with_edge else None), w_relation=wr_,
+                b_relation=br_, edge_mask=keep) * wloss)
+        return inner
+
+    ef_in = ef if with_edge else jnp.zeros((2048, h), jnp.float32)
+    ref_g = jax.grad(loss(g), argnums=(0, 1, 2, 3, 4))(
+        eq, ek, ef_in, wr, br)
+    got_g = jax.jit(jax.grad(loss(hg), argnums=(0, 1, 2, 3, 4)))(
+        eq_s, ek_s, ef_in, wr, br)
+    for i, (a, b) in enumerate(zip(got_g, ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-3,
+                                   err_msg=f"grad argnum {i}")
