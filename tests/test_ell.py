@@ -234,3 +234,57 @@ def test_remat_grads_identical(rng, use_pallas):
     g1 = jax.grad(loss(f1), argnums=(0, 1, 2))(eq, ek, ev)
     for a, b in zip(g0, g1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adversarial_activation_override_and_routing(rng):
+    """The elementwise probe is a heuristic (ops/ell.py docstring): an
+    activation that is diagonal at the probe points but row-coupled
+    elsewhere would be misrouted onto the factorized backward. The
+    documented escape hatch ``act.sir_elementwise = False`` must be
+    respected, and the general path it selects must produce exact grads
+    for the row-coupled activation."""
+    from sir_gcn_tpu.ops.ell import (
+        activation_is_elementwise,
+        make_ell_sir_aggregate_pallas,
+    )
+
+    def sneaky(z):
+        # row-coupled only where row mean > 100 — never at probe points
+        coupled = z + jnp.mean(z, axis=-1, keepdims=True)
+        gate = jnp.mean(z, axis=-1, keepdims=True) > 100.0
+        return jnp.where(gate, coupled, jnp.tanh(z))
+
+    # without the override the 3-point probe is (by construction) fooled
+    assert activation_is_elementwise(sneaky, 8) is True
+
+    def sneaky2(z):
+        coupled = z + jnp.mean(z, axis=-1, keepdims=True)
+        gate = jnp.mean(z, axis=-1, keepdims=True) > 100.0
+        return jnp.where(gate, coupled, jnp.tanh(z))
+
+    sneaky2.sir_elementwise = False
+    assert activation_is_elementwise(sneaky2, 8) is False
+
+    # the general path computes exact grads for it (vs the CSR reference)
+    g, *_ = make_graph(rng)
+    fg = build_fast_graph(g, max_budget=16)
+    eq = jnp.asarray(rng.normal(size=(64, 8)) * 60.0, jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(64, 8)) * 60.0, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
+    f = make_ell_sir_aggregate_pallas(fg, sneaky2, "sum",
+                                      interpret=True,
+                                      act_elementwise=False)
+    es = fg.edge_mask.astype(jnp.float32)
+    e0 = jnp.zeros((0,), jnp.float32)
+
+    def loss_fast(a, b):
+        return jnp.sum(f(a, b, e0, es) * w)
+
+    def loss_ref(a, b):
+        return jnp.sum(sir_aggregate(g, a, b, sneaky2, "sum") * w)
+
+    got = jax.grad(loss_fast, argnums=(0, 1))(eq, ek)
+    exp = jax.grad(loss_ref, argnums=(0, 1))(eq, ek)
+    for x, y in zip(got, exp):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=2e-3, rtol=2e-3)
