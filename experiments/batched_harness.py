@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 from typing import Callable, Optional
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -174,6 +175,7 @@ def run_batched_workload(
     better = (lambda a, b: a < b) if minimize_metric else \
         (lambda a, b: a > b)
 
+    t_epochs = time.perf_counter()
     for epoch in range(1, args.epochs + 1):
         # warmup/plateau LR applies to THIS epoch's steps
         state = set_lr_scale(state, driver.lr_scale(epoch))
@@ -217,6 +219,11 @@ def run_batched_workload(
                   f"metric: {metric:.4f} | val: {val_metric:.4f} | "
                   f"test: {test_metric:.4f}")
 
+    # perf telemetry (VERDICT r2 item 9): wall per epoch over all train
+    # batches + the three evaluate() passes (each fetches, a hard sync)
+    dt = (time.perf_counter() - t_epochs) / max(args.epochs, 1)
+    print(f"step_time_ms: {dt * 1e3:.1f} (train+eval wall per epoch, "
+          f"{args.epochs} epochs)")
     return best
 
 

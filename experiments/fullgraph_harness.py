@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 from typing import Callable
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -165,6 +166,7 @@ def run_fullgraph_workload(
                          factor=args.factor, patience=args.patience,
                          log_every=args.log_every)
     best = None
+    t_epochs = time.perf_counter()
     for epoch in range(1, args.epochs + 1):
         # warmup/plateau LR applies to THIS epoch's step
         state = set_lr_scale(state, driver.lr_scale(epoch))
@@ -188,4 +190,12 @@ def run_fullgraph_workload(
             print(f"Epoch {epoch:04d} | "
                   + " | ".join(f"{k}: {v:.4f}"
                                for k, v in metrics.items()))
+    # perf telemetry (VERDICT r2 item 9): epoch wall includes the train
+    # step dispatch AND the eval fetch (a hard sync), so regressions in
+    # the model layer surface here, outside bench.py. Not a kernel-level
+    # timing — the tunneled runtime makes per-dispatch timing unreliable
+    # (see bench.py) — but comparable run-to-run.
+    dt = (time.perf_counter() - t_epochs) / max(args.epochs, 1)
+    print(f"step_time_ms: {dt * 1e3:.1f} (train+eval wall per epoch, "
+          f"{args.epochs} epochs)")
     return best

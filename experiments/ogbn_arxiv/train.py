@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -353,6 +354,7 @@ def run_single(args, seed: int, data, iter_idx: int):
                 key, _ = jax.random.split(key)
             print(f"Resumed from {ckpt_dir} at epoch {step}")
 
+    t_epochs = time.perf_counter()
     for epoch in range(start_epoch, args.epochs + 1):
         # mask-rate subsampling (train.py:107-108)
         sub = host_rng.random(len(data.train_idx)) < args.mask_rate
@@ -401,6 +403,15 @@ def run_single(args, seed: int, data, iter_idx: int):
                   f"val_acc: {metrics['val_acc']:.4f} | "
                   f"test_loss: {metrics['test_loss']:.4f} | "
                   f"test_acc: {metrics['test_acc']:.4f}")
+
+    # perf telemetry (VERDICT r2 item 9): epoch wall includes the train
+    # step dispatch AND the eval logits fetch (hard sync) — comparable
+    # run-to-run, surfaces model-layer perf regressions outside bench.py
+    n_ep = args.epochs + 1 - start_epoch
+    if n_ep > 0:
+        dt = (time.perf_counter() - t_epochs) / n_ep
+        print(f"step_time_ms: {dt * 1e3:.1f} (train+eval wall per epoch, "
+              f"{n_ep} epochs)")
 
     if args.save_pred:
         os.makedirs("./output", exist_ok=True)

@@ -21,6 +21,7 @@ Design (not a DGL port):
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from functools import partial
 from typing import Optional
 
@@ -31,6 +32,30 @@ import numpy as np
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# Host-side NumPy mirrors of GraphBatch structure arrays, keyed by object
+# id (weakref-finalized). build_graph constructs everything on host first;
+# keeping the mirrors lets plan builders (ops/ell.py) read structure
+# without a device->host fetch — over the tunneled TPU runtime those
+# fetches dominate plan-build wall time.
+_HOST_MIRRORS: dict = {}
+
+
+def _register_host_mirror(gb, arrays: dict) -> None:
+    _HOST_MIRRORS[id(gb)] = arrays
+    weakref.finalize(gb, _HOST_MIRRORS.pop, id(gb), None)
+
+
+def host_array(gb, name: str) -> np.ndarray:
+    """Host NumPy view of a GraphBatch structure array (``src``, ``dst``,
+    ``edge_mask``, ``in_deg``, ``out_deg``, ...). Falls back to a device
+    fetch for graphs not built via :func:`build_graph` (e.g. sliced or
+    deserialized ones)."""
+    m = _HOST_MIRRORS.get(id(gb))
+    if m is not None and name in m:
+        return m[name]
+    return np.asarray(getattr(gb, name))
 
 
 @jax.tree_util.register_dataclass
@@ -170,7 +195,7 @@ def build_graph(
     in_deg[~node_mask] = 0.0
     out_deg[~node_mask] = 0.0
 
-    return GraphBatch(
+    gb = GraphBatch(
         src=jnp.asarray(p_src),
         dst=jnp.asarray(p_dst),
         edge_perm=jnp.asarray(p_perm),
@@ -185,6 +210,11 @@ def build_graph(
         in_deg=jnp.asarray(in_deg),
         out_deg=jnp.asarray(out_deg),
     )
+    _register_host_mirror(gb, dict(
+        src=p_src, dst=p_dst, edge_perm=p_perm, edge_mask=edge_mask,
+        node_mask=node_mask, in_deg=in_deg, out_deg=out_deg,
+        node2graph=n2g, row_ptr=row_ptr))
+    return gb
 
 
 def batch_graphs(

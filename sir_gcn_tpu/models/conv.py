@@ -196,8 +196,12 @@ class SIRConvBase(nn.Module):
 
 
 class SIREConvBase(nn.Module):
-    r"""Generic edge-feature form h*_u = agg g([h_u || h_uv || h_v])
-    (reference ``models/conv.py:180-221``)."""
+    r"""Generic edge-feature form h*_u = agg g([h_u || h_v || h_uv])
+    (reference ``models/conv.py:180-221``; the reference docstring writes
+    [h_u || h_uv || h_v] but its message_func concatenates
+    ``(edges.dst['eq'], edges.src['ek'], edges.data['e'])`` — conv.py:201 —
+    and this class matches the CODE so message-MLP weights port
+    column-for-column)."""
 
     message_func: Callable[[jax.Array], jax.Array]
     agg_type: str = "sum"

@@ -28,7 +28,9 @@ backward**:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import time
 from typing import Callable, Optional
 
 import jax
@@ -38,6 +40,25 @@ import numpy as np
 from ..graph import GraphBatch
 
 MAX_BUDGET = 256
+
+# Stage timings of the most recent build_fast_graph call (seconds).
+# Read via plan_timings() after building; bench.py logs them. The
+# timers themselves are ~20 perf_counter calls — free.
+_PLAN_TIMINGS: dict = {}
+
+
+def plan_timings() -> dict:
+    return dict(_PLAN_TIMINGS)
+
+
+@contextlib.contextmanager
+def _timed_stage(stage: str):
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        _PLAN_TIMINGS[stage] = (_PLAN_TIMINGS.get(stage, 0.0)
+                                + time.perf_counter() - t0)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -136,14 +157,22 @@ class ReducePlan:
 
 
 def _chunk_budgets(chunk_cnt: np.ndarray) -> np.ndarray:
-    """Budget per chunk: power of two up to 8, then next multiple of 8 —
-    finer granularity than pure powers of two cuts slot inflation
-    ~1.4x -> ~1.1x."""
+    """Budget per chunk: power of two up to 8, multiples of 2 to 16,
+    multiples of 4 to 32, then multiples of 8.
+
+    Granularity sets the padded-slot inflation: the round-1 rule
+    (pow2 <= 8, then multiples of 8) paid up to 1.78x for degrees 9-15
+    — 1.35x aggregate on a Poisson(8)-degree graph (the src plan of the
+    power-law bench graph, tests/test_ell.py powerlaw inflation test).
+    The finer steps cost a few extra bucket kernels per pass (one
+    pallas_call per distinct budget) which is noise at step scale."""
+    c = np.maximum(chunk_cnt, 1)
+    pow2 = 2 ** np.ceil(np.log2(c)).astype(np.int64)
     return np.where(
-        chunk_cnt <= 8,
-        2 ** np.ceil(np.log2(np.maximum(chunk_cnt, 1))).astype(np.int64),
-        ((chunk_cnt + 7) // 8) * 8,
-    ).astype(np.int64)
+        c <= 8, pow2,
+        np.where(c <= 16, ((c + 1) // 2) * 2,
+                 np.where(c <= 32, ((c + 3) // 4) * 4,
+                          ((c + 7) // 8) * 8))).astype(np.int64)
 
 
 def _bucketize(item_keys: np.ndarray, item_ids: np.ndarray, num_keys: int,
@@ -262,8 +291,9 @@ def build_reduce_plan(keys: np.ndarray, valid: np.ndarray, num_keys: int,
     valid = np.asarray(valid, bool)
     eids = np.nonzero(valid)[0]
 
-    slot_edge, slot_valid, slot_key, buckets1, row_keys = _bucketize(
-        keys[eids], eids, num_keys, max_budget)
+    with _timed_stage("bucketize"):
+        slot_edge, slot_valid, slot_key, buckets1, row_keys = _bucketize(
+            keys[eids], eids, num_keys, max_budget)
 
     # pad slots to multiple of 8 with an extra budget-1 bucket
     s_pad = max(_round_up(len(slot_edge), 8), 8)
@@ -314,18 +344,19 @@ def build_reduce_plan(keys: np.ndarray, valid: np.ndarray, num_keys: int,
     realf = final_keys < num_keys
     key2row[final_keys[realf]] = np.nonzero(realf)[0]
 
-    return ReducePlan(
-        slot_edge=jnp.asarray(slot_edge, jnp.int32),
-        slot_valid=jnp.asarray(slot_valid),
-        slot_key=jnp.asarray(slot_key, jnp.int32),
-        row_key=jnp.asarray(row_key_dev, jnp.int32),
-        s2_gather=s2_gather_j,
-        s2_valid=s2_valid_j,
-        key2row=jnp.asarray(key2row, jnp.int32),
-        buckets1=tuple(buckets1),
-        buckets2=buckets2,
-        num_keys=num_keys,
-    )
+    with _timed_stage("plan_upload"):
+        return ReducePlan(
+            slot_edge=jnp.asarray(slot_edge, jnp.int32),
+            slot_valid=jnp.asarray(slot_valid),
+            slot_key=jnp.asarray(slot_key, jnp.int32),
+            row_key=jnp.asarray(row_key_dev, jnp.int32),
+            s2_gather=s2_gather_j,
+            s2_valid=s2_valid_j,
+            key2row=jnp.asarray(key2row, jnp.int32),
+            buckets1=tuple(buckets1),
+            buckets2=buckets2,
+            num_keys=num_keys,
+        )
 
 
 # ======================================================================
@@ -446,6 +477,13 @@ def static_edge_scale(agg: str, src, dst, valid, in_deg, out_deg
     raise ValueError(f"unknown static scale agg {agg}")
 
 
+# Two entries: a harness typically alternates between at most a train
+# graph and an eval graph. Keys include a 128-bit content hash of
+# (src, dst, edge_mask); entries hold device arrays, so keep this small.
+_FAST_GRAPH_MEMO: dict = {}
+_FAST_GRAPH_MEMO_MAX = 2
+
+
 def build_fast_graph(graph: GraphBatch,
                      max_budget: int = MAX_BUDGET,
                      static_scales: tuple = ("sum", "mean", "sym"),
@@ -457,55 +495,95 @@ def build_fast_graph(graph: GraphBatch,
     sum -> edge validity; mean -> validity / clamp(in_deg[dst], 1), the
     division folded in; sym -> clamp-deg^-1/2 norms per conv.py:51-57).
     """
-    src = np.asarray(graph.src, np.int64)
-    dst = np.asarray(graph.dst, np.int64)
-    valid = np.asarray(graph.edge_mask, bool)
+    from ..graph import host_array
+
+    _PLAN_TIMINGS.clear()
+    with _timed_stage("fetch_host"):
+        src32 = host_array(graph, "src")
+        dst32 = host_array(graph, "dst")
+        valid = np.asarray(host_array(graph, "edge_mask"), bool)
+        in_deg = host_array(graph, "in_deg")
+        out_deg = host_array(graph, "out_deg")
     n = graph.n_pad
+
+    # Content-keyed memo: the experiment harnesses rebuild the SAME graph
+    # once per --nruns run (reference analog: create_formats_() paid once,
+    # benchmark-datasets/ogbn-arxiv/train.py:55). Plans depend only on the
+    # structure arrays + build options, so repeated runs reuse them.
+    with _timed_stage("memo_hash"):
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+        h.update(np.ascontiguousarray(src32).tobytes())
+        h.update(np.ascontiguousarray(dst32).tobytes())
+        h.update(np.ascontiguousarray(valid).tobytes())
+        key = (h.hexdigest(), n, graph.e_pad, max_budget,
+               tuple(static_scales))
+    hit = _FAST_GRAPH_MEMO.get(key)
+    if hit is not None:
+        _PLAN_TIMINGS["memo_hit"] = 1.0
+        return dataclasses.replace(hit, graph=graph)
+
+    src = np.asarray(src32, np.int64)
+    dst = np.asarray(dst32, np.int64)
 
     dst_plan = build_reduce_plan(dst, valid, n, max_budget)
     src_plan = build_reduce_plan(src, valid, n, max_budget)
 
-    dst_slot_edge = np.asarray(dst_plan.slot_edge, np.int64)
-    src_slot_edge = np.asarray(src_plan.slot_edge, np.int64)
-    dst_slot_srcnode = src[dst_slot_edge]
-    src_slot_dstnode = dst[src_slot_edge]
+    with _timed_stage("fetch_plans"):
+        dst_slot_edge = np.asarray(dst_plan.slot_edge, np.int64)
+        src_slot_edge = np.asarray(src_plan.slot_edge, np.int64)
+        dvalid = np.asarray(dst_plan.slot_valid) > 0
+        svalid = np.asarray(src_plan.slot_valid) > 0
+    with _timed_stage("fg_host"):
+        dst_slot_srcnode = src[dst_slot_edge]
+        src_slot_dstnode = dst[src_slot_edge]
 
-    edge2dst_slot = np.zeros(graph.e_pad, np.int64)
-    dvalid = np.asarray(dst_plan.slot_valid) > 0
-    edge2dst_slot[dst_slot_edge[dvalid]] = np.nonzero(dvalid)[0]
-    src_slot_from_dst_slot = edge2dst_slot[src_slot_edge]
+        edge2dst_slot = np.zeros(graph.e_pad, np.int64)
+        edge2dst_slot[dst_slot_edge[dvalid]] = np.nonzero(dvalid)[0]
+        src_slot_from_dst_slot = edge2dst_slot[src_slot_edge]
 
-    edge2src_slot = np.zeros(graph.e_pad, np.int64)
-    svalid = np.asarray(src_plan.slot_valid) > 0
-    edge2src_slot[src_slot_edge[svalid]] = np.nonzero(svalid)[0]
+        edge2src_slot = np.zeros(graph.e_pad, np.int64)
+        edge2src_slot[src_slot_edge[svalid]] = np.nonzero(svalid)[0]
 
     dst_scales = src_scales = None
     if static_scales:
-        base = {agg: static_edge_scale(agg, src, dst, valid,
-                                       graph.in_deg, graph.out_deg)
-                for agg in static_scales}
-        dsv = np.asarray(dst_plan.slot_valid, np.float64)
-        ssv = np.asarray(src_plan.slot_valid, np.float64)
-        dst_scales = {
-            a: jnp.asarray((b[dst_slot_edge] * dsv).astype(np.float32))
-            for a, b in base.items()}
-        src_scales = {
-            a: jnp.asarray((b[src_slot_edge] * ssv).astype(np.float32))
-            for a, b in base.items()}
+        with _timed_stage("scales_host"):
+            base = {agg: static_edge_scale(agg, src, dst, valid,
+                                           in_deg, out_deg)
+                    for agg in static_scales}
+            dsv = dvalid.astype(np.float64)
+            ssv = svalid.astype(np.float64)
+            dst_scales_np = {
+                a: (b[dst_slot_edge] * dsv).astype(np.float32)
+                for a, b in base.items()}
+            src_scales_np = {
+                a: (b[src_slot_edge] * ssv).astype(np.float32)
+                for a, b in base.items()}
+        with _timed_stage("fg_upload"):
+            dst_scales = {a: jnp.asarray(v)
+                          for a, v in dst_scales_np.items()}
+            src_scales = {a: jnp.asarray(v)
+                          for a, v in src_scales_np.items()}
 
-    return FastGraph(
-        graph=graph,
-        dst_plan=dst_plan,
-        src_plan=src_plan,
-        dst_slot_srcnode=jnp.asarray(dst_slot_srcnode, jnp.int32),
-        src_slot_dstnode=jnp.asarray(src_slot_dstnode, jnp.int32),
-        src_slot_from_dst_slot=jnp.asarray(src_slot_from_dst_slot,
-                                           jnp.int32),
-        edge2dst_slot=jnp.asarray(edge2dst_slot, jnp.int32),
-        edge2src_slot=jnp.asarray(edge2src_slot, jnp.int32),
-        dst_slot_scales=dst_scales,
-        src_slot_scales=src_scales,
-    )
+    with _timed_stage("fg_upload"):
+        fg = FastGraph(
+            graph=graph,
+            dst_plan=dst_plan,
+            src_plan=src_plan,
+            dst_slot_srcnode=jnp.asarray(dst_slot_srcnode, jnp.int32),
+            src_slot_dstnode=jnp.asarray(src_slot_dstnode, jnp.int32),
+            src_slot_from_dst_slot=jnp.asarray(src_slot_from_dst_slot,
+                                               jnp.int32),
+            edge2dst_slot=jnp.asarray(edge2dst_slot, jnp.int32),
+            edge2src_slot=jnp.asarray(edge2src_slot, jnp.int32),
+            dst_slot_scales=dst_scales,
+            src_slot_scales=src_scales,
+        )
+    while len(_FAST_GRAPH_MEMO) >= _FAST_GRAPH_MEMO_MAX:
+        _FAST_GRAPH_MEMO.pop(next(iter(_FAST_GRAPH_MEMO)))
+    _FAST_GRAPH_MEMO[key] = fg
+    return fg
 
 
 # ======================================================================
@@ -532,6 +610,7 @@ def make_ell_sir_aggregate_pallas(
     remat: bool = False,
     act_elementwise: bool = True,
     static_scale: bool = False,
+    fuse_bwd_take: bool = False,
 ):
     """Pallas-kernel variant of :func:`make_ell_sir_aggregate`: the
     broadcast+activation+reduce stages run as fused streaming kernels per
@@ -633,13 +712,17 @@ def make_ell_sir_aggregate_pallas(
     def src_pass(eq, ek, e, edge_scale, g, need_gz: bool):
         """g_ek (and optionally per-slot g_z) via the src-major kernel.
 
-        When H is lane-aligned (H % 128 == 0) and there are no edge
-        features, the two node-table takes (eq[dst_e], g[dst_e] — the
-        round-1 backward bottleneck, ~2/3 of backward time) collapse into
-        ONE take of a lane-concatenated [N, 2H] table consumed by
-        ``bucket_src_bwd_fused``."""
+        ``fuse_bwd_take=True`` collapses the two node-table takes
+        (eq[dst_e], g[dst_e]) into ONE take of a lane-concatenated
+        [N, 2H] table (``bucket_src_bwd_fused``; requires H % 128 == 0,
+        no edge features). Default OFF: tools/gather_probe3.py measured
+        row takes at ~3.9 ns/row for tables <=44 MB but 13-15 ns/row at
+        [N, 256] bf16 (87 MB — spills the chip's random-access-friendly
+        cache), so at arxiv scale one 512 B-row take costs ~2x two
+        256 B-row takes. Kept for narrower models where 2H stays
+        <=128 lanes after padding."""
         h = eq.shape[-1]
-        fuse = (h % 128 == 0) and not with_edge
+        fuse = fuse_bwd_take and (h % 128 == 0) and not with_edge
         ek_rows = jnp.take(ek, splan.row_key, axis=0)
         s = src_scale(edge_scale)
         gz_dt = (edge_dtype or jnp.float32) if need_gz else None

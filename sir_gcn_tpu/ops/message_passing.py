@@ -197,9 +197,12 @@ def sir_aggregate_concat(
     e: Optional[jax.Array] = None,
     edge_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Generic concatenated form ``reduce g([h_u || (h_uv ||) h_v])`` used by
+    """Generic concatenated form ``reduce g([h_u || h_v (|| h_uv)])`` used by
     ``SIRConvBase`` / ``SIREConvBase`` (conv.py:156-158, 199-201).
 
+    Column order matches the reference message_func exactly —
+    ``torch.cat((edges.dst['eq'], edges.src['ek'], edges.data['e']))``
+    (conv.py:201) — so reference message-MLP weights port verbatim.
     ``message_func`` g is an arbitrary jittable row-wise module applied to the
     per-edge concatenation; degree scaling applies for 'sym'.
     """
@@ -211,10 +214,10 @@ def sir_aggregate_concat(
     )
     n = graph.n_pad
 
-    parts = [jnp.take(eq, graph.dst, axis=0)]
+    parts = [jnp.take(eq, graph.dst, axis=0),
+             jnp.take(ek, graph.src, axis=0)]
     if e is not None:
         parts.append(e)
-    parts.append(jnp.take(ek, graph.src, axis=0))
     m = message_func(jnp.concatenate(parts, axis=-1))
 
     if agg_type == "max":

@@ -400,6 +400,16 @@ def _plan_spec(hfg: HaloFastGraph, axis: str):
     return dataclasses.replace(spec, edge_unslice=P())
 
 
+def _sm_view(hfg: HaloFastGraph):
+    """The hfg operand actually passed INTO shard_map programs:
+    ``edge_unslice`` ([E_pad] int32) is consumed only OUTSIDE shard_map
+    (``_unshard_edge_grad``), but as an operand it would be replicated
+    into every per-device program (ADVICE r2); swap in an 8-element
+    placeholder (the replicated spec accepts any shape)."""
+    return dataclasses.replace(hfg,
+                               edge_unslice=jnp.zeros((8,), jnp.int32))
+
+
 _BUILDER_CACHE: dict = {}
 
 
@@ -546,6 +556,7 @@ def make_halo_sir_aggregate(
     S, Hm = hfg.n_shards, hfg.h_max
     node_spec = P(axis)
     plan_spec = _plan_spec(hfg, axis)
+    hfg_sm = _sm_view(hfg)
 
     def slot_scales(scale_l, hfg_l, dpi, dpb):
         if dynamic_scale:
@@ -636,56 +647,56 @@ def make_halo_sir_aggregate(
         @jax.custom_vjp
         def f(eq, ek, e, edge_scale):
             return fwd_sm(eq, ek, _to_shard_edges(hfg, e),
-                          _to_shard_scale(hfg, edge_scale), hfg)
+                          _to_shard_scale(hfg, edge_scale), hfg_sm)
 
         def f_fwd(eq, ek, e, edge_scale):
             s = _to_shard_scale(hfg, edge_scale)
             e_sh = _to_shard_edges(hfg, e)
-            return fwd_sm(eq, ek, e_sh, s, hfg), (eq, ek, e_sh, s)
+            return fwd_sm(eq, ek, e_sh, s, hfg_sm), (eq, ek, e_sh, s)
 
         def f_bwd(res, g):
             eq, ek, e_sh, s = res
-            g_eq, g_ek, g_e_sh = bwd_sm(g, eq, ek, e_sh, s, hfg)
+            g_eq, g_ek, g_e_sh = bwd_sm(g, eq, ek, e_sh, s, hfg_sm)
             return (g_eq, g_ek, _unshard_edge_grad(hfg, g_e_sh),
                     jnp.zeros((hfg.e_pad,), s.dtype))
     elif with_edge:
         @jax.custom_vjp
         def f(eq, ek, e):
-            return fwd_sm(eq, ek, _to_shard_edges(hfg, e), dummy_s, hfg)
+            return fwd_sm(eq, ek, _to_shard_edges(hfg, e), dummy_s, hfg_sm)
 
         def f_fwd(eq, ek, e):
             e_sh = _to_shard_edges(hfg, e)
-            return fwd_sm(eq, ek, e_sh, dummy_s, hfg), (eq, ek, e_sh)
+            return fwd_sm(eq, ek, e_sh, dummy_s, hfg_sm), (eq, ek, e_sh)
 
         def f_bwd(res, g):
             eq, ek, e_sh = res
-            g_eq, g_ek, g_e_sh = bwd_sm(g, eq, ek, e_sh, dummy_s, hfg)
+            g_eq, g_ek, g_e_sh = bwd_sm(g, eq, ek, e_sh, dummy_s, hfg_sm)
             return g_eq, g_ek, _unshard_edge_grad(hfg, g_e_sh)
     elif dynamic_scale:
         @jax.custom_vjp
         def f(eq, ek, edge_scale):
             return fwd_sm(eq, ek, dummy_e,
-                          _to_shard_scale(hfg, edge_scale), hfg)
+                          _to_shard_scale(hfg, edge_scale), hfg_sm)
 
         def f_fwd(eq, ek, edge_scale):
             s = _to_shard_scale(hfg, edge_scale)
-            return fwd_sm(eq, ek, dummy_e, s, hfg), (eq, ek, s)
+            return fwd_sm(eq, ek, dummy_e, s, hfg_sm), (eq, ek, s)
 
         def f_bwd(res, g):
             eq, ek, s = res
-            g_eq, g_ek, _ = bwd_sm(g, eq, ek, dummy_e, s, hfg)
+            g_eq, g_ek, _ = bwd_sm(g, eq, ek, dummy_e, s, hfg_sm)
             return g_eq, g_ek, jnp.zeros((hfg.e_pad,), s.dtype)
     else:
         @jax.custom_vjp
         def f(eq, ek):
-            return fwd_sm(eq, ek, dummy_e, dummy_s, hfg)
+            return fwd_sm(eq, ek, dummy_e, dummy_s, hfg_sm)
 
         def f_fwd(eq, ek):
-            return fwd_sm(eq, ek, dummy_e, dummy_s, hfg), (eq, ek)
+            return fwd_sm(eq, ek, dummy_e, dummy_s, hfg_sm), (eq, ek)
 
         def f_bwd(res, g):
             eq, ek = res
-            g_eq, g_ek, _ = bwd_sm(g, eq, ek, dummy_e, dummy_s, hfg)
+            g_eq, g_ek, _ = bwd_sm(g, eq, ek, dummy_e, dummy_s, hfg_sm)
             return g_eq, g_ek
 
     f.defvjp(f_fwd, f_bwd)
@@ -718,6 +729,7 @@ def make_halo_sir_aggregate_pallas(
     S, Hm = hfg.n_shards, hfg.h_max
     node_spec = P(axis)
     plan_spec = _plan_spec(hfg, axis)
+    hfg_sm = _sm_view(hfg)
     offs_di = _bucket_offsets(hfg.dst_plan_i.buckets1)
     offs_db = _bucket_offsets(hfg.dst_plan_b.buckets1)
     offs_si = _bucket_offsets(hfg.src_plan_i.buckets1)
@@ -813,32 +825,32 @@ def make_halo_sir_aggregate_pallas(
     if dynamic_scale:
         @jax.custom_vjp
         def f(eq, ek, edge_scale):
-            return fwd2_sm(eq, ek, _to_shard_scale(hfg, edge_scale), hfg)[0]
+            return fwd2_sm(eq, ek, _to_shard_scale(hfg, edge_scale), hfg_sm)[0]
 
         def f_fwd(eq, ek, edge_scale):
             s = _to_shard_scale(hfg, edge_scale)
-            out, sbar = fwd2_sm(eq, ek, s, hfg)
+            out, sbar = fwd2_sm(eq, ek, s, hfg_sm)
             return out, (eq, ek, s, sbar)
 
         def f_bwd(res, g):
             eq, ek, s, sbar = res
             g_eq = g * sbar
-            g_ek = bwd_sm(g, eq, ek, s, hfg)
+            g_ek = bwd_sm(g, eq, ek, s, hfg_sm)
             return g_eq, g_ek, jnp.zeros((hfg.e_pad,), s.dtype)
     else:
         dummy = jnp.zeros((S * hfg.e_max,), jnp.float32)
 
         @jax.custom_vjp
         def f(eq, ek):
-            return fwd2_sm(eq, ek, dummy, hfg)[0]
+            return fwd2_sm(eq, ek, dummy, hfg_sm)[0]
 
         def f_fwd(eq, ek):
-            out, sbar = fwd2_sm(eq, ek, dummy, hfg)
+            out, sbar = fwd2_sm(eq, ek, dummy, hfg_sm)
             return out, (eq, ek, sbar)
 
         def f_bwd(res, g):
             eq, ek, sbar = res
-            return g * sbar, bwd_sm(g, eq, ek, dummy, hfg)
+            return g * sbar, bwd_sm(g, eq, ek, dummy, hfg_sm)
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -866,6 +878,7 @@ def make_halo_sir_aggregate_max(
     S = hfg.n_shards
     node_spec = P(axis)
     plan_spec = _plan_spec(hfg, axis)
+    hfg_sm = _sm_view(hfg)
 
     def stage_inputs(eq_l, ek_l, e_l, scale_l, hfg_l, dpi, dpb):
         halo = _exchange(ek_l, hfg_l, axis)
@@ -967,18 +980,18 @@ def make_halo_sir_aggregate_max(
     @jax.custom_vjp
     def f(eq, ek, e, edge_scale, w, b):
         return fwd_sm(eq, ek, shard_e(e), _to_shard_scale(hfg, edge_scale),
-                      w, b, hfg)
+                      w, b, hfg_sm)
 
     def f_fwd(eq, ek, e, edge_scale, w, b):
         s = _to_shard_scale(hfg, edge_scale)
         e_sh = shard_e(e)
-        out = fwd_sm(eq, ek, e_sh, s, w, b, hfg)
+        out = fwd_sm(eq, ek, e_sh, s, w, b, hfg_sm)
         return out, (eq, ek, e, e_sh, s, w, b, out)
 
     def f_bwd(res, g):
         eq, ek, e, e_sh, s, w, b, out = res
         g_eq, g_ek, g_e_sh, g_w, g_b = bwd_sm(g, out, eq, ek, e_sh, s,
-                                              w, b, hfg)
+                                              w, b, hfg_sm)
         g_e = (_unshard_edge_grad(hfg, g_e_sh) if with_edge
                else jnp.zeros_like(e))
         return (g_eq, g_ek, g_e, jnp.zeros((hfg.e_pad,), s.dtype),
@@ -994,6 +1007,7 @@ def make_halo_counts(hfg: HaloFastGraph, mesh: Mesh, axis: str = "graph"):
     (purely local — no communication)."""
     node_spec = P(axis)
     plan_spec = _plan_spec(hfg, axis)
+    hfg_sm = _sm_view(hfg)
     S = hfg.n_shards
 
     def local(scale_l, hfg_l):
@@ -1009,6 +1023,6 @@ def make_halo_counts(hfg: HaloFastGraph, mesh: Mesh, axis: str = "graph"):
                            out_specs=node_spec, check_vma=False))
 
     def counts(edge_scale):
-        return sm(_to_shard_scale(hfg, edge_scale), hfg)
+        return sm(_to_shard_scale(hfg, edge_scale), hfg_sm)
 
     return counts

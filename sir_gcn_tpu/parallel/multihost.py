@@ -17,10 +17,17 @@ from .mesh import make_mesh
 # env vars whose presence indicates a real cluster launch; bare
 # auto-initialize is only attempted when one of these is set, because
 # partially-populated cluster envs can make initialize() BLOCK on a
-# coordinator connection instead of raising (hanging single-process runs)
+# coordinator connection instead of raising (hanging single-process runs).
+# Cloud TPU pod VMs export TPU_WORKER_ID / TPU_WORKER_HOSTNAMES /
+# CLOUD_TPU_TASK_ID even when the coordinator address comes from GCE
+# metadata rather than the environment, so metadata-driven pod launches
+# are detected too. A pod environment that exports NONE of these must
+# pass ``auto=True`` (or explicit coordinator args) — otherwise each host
+# silently runs as an independent single-process runtime.
 _CLUSTER_ENV_VARS = (
     "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+    "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID",
     "SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE",
 )
 

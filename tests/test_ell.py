@@ -288,3 +288,28 @@ def test_adversarial_activation_override_and_routing(rng):
     for x, y in zip(got, exp):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_plan_inflation_and_correctness_powerlaw(rng):
+    """Heavy-tail in-degree graph (the real ogbn-arxiv shape, VERDICT r2
+    item 2): the hub-split/budget machinery must keep slot inflation
+    bounded (<1.3x) and stay exact vs the CSR reference."""
+    from sir_gcn_tpu.data.synthetic import powerlaw_edges
+
+    n, e = 6000, 48000
+    src, dst = powerlaw_edges(rng, n, e)
+    assert np.bincount(dst, minlength=n).max() > 1000  # genuinely skewed
+    g = build_graph(src, dst, n, pad_multiple=128)
+    fg = build_fast_graph(g)
+    E = int(g.num_edges)
+    assert fg.dst_plan.num_slots / E < 1.2, fg.dst_plan.buckets1
+    assert fg.src_plan.num_slots / E < 1.2, fg.src_plan.buckets1
+
+    h = 8
+    eq = jnp.asarray(rng.normal(size=(g.n_pad, h)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(g.n_pad, h)), jnp.float32)
+    for agg in ("sum", "sym"):
+        got = sir_aggregate(fg, eq, ek, jnp.tanh, agg)
+        exp = sir_aggregate(g, eq, ek, jnp.tanh, agg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   atol=2e-4, rtol=2e-4)

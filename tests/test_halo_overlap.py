@@ -1,0 +1,111 @@
+"""Halo-exchange communication accounting (VERDICT r2 item 5).
+
+Asserts — from the compiled HLO, not from trust — that the halo forward
+moves exactly ONE boundary-sized all_to_all of (n_shards * h_max) rows
+per device (O(boundary x H) bytes), never an O(N_pad x H) collective,
+and that the backward adds exactly the documented second exchange (one
+halo recompute + one cotangent return). The interior/boundary *overlap*
+claim is validated on the real TPU schedule by tools/overlap_probe.py
+(async all-to-all-start/done pairs with interior work in between);
+this file pins the structural preconditions the overlap rests on.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sir_gcn_tpu import build_graph
+from sir_gcn_tpu.parallel import make_mesh
+from sir_gcn_tpu.parallel.halo import (
+    build_halo_fast_graph,
+    make_halo_sir_aggregate,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def _locality_graph(rng, n, e, frac_local=0.8, n_local=32):
+    dst = rng.integers(0, n, e)
+    local = rng.random(e) < frac_local
+    base = (dst // n_local) * n_local
+    src = np.where(local, base + rng.integers(0, n_local, e),
+                   rng.integers(0, n, e))
+    return src.astype(np.int64), dst.astype(np.int64)
+
+
+def _a2a_shapes(hlo: str):
+    """(total_rows, cols) of every all-to-all INSTRUCTION in an HLO
+    module text (SPMD: shapes are per-device). XLA may emit the tiled
+    all_to_all either as one array op or as a tuple op with one
+    per-peer block per element — sum the rows either way."""
+    shapes = []
+    for line in hlo.splitlines():
+        if "all-to-all(" not in line or "=" not in line:
+            continue
+        lhs = line.split("all-to-all(")[0]
+        blocks = re.findall(r"(?:f32|bf16)\[(\d+),(\d+)\]", lhs)
+        if not blocks:
+            continue
+        cols = {int(c) for _, c in blocks}
+        assert len(cols) == 1, line
+        shapes.append((sum(int(r) for r, _ in blocks), cols.pop()))
+    return shapes
+
+
+def test_halo_forward_moves_boundary_bytes_only(rng):
+    n, e, h = 256, 2048, 16
+    src, dst = _locality_graph(rng, n, e)
+    g = build_graph(src, dst, n, n_pad=256, e_pad=2048)
+    hfg = build_halo_fast_graph(g, 8, agg_type="sum", max_budget=16)
+    mesh = make_mesh((8,), ("graph",))
+    f = make_halo_sir_aggregate(hfg, jnp.tanh, mesh)
+    sh = NamedSharding(mesh, P("graph"))
+    eq = jax.device_put(jnp.zeros((256, h), jnp.float32), sh)
+    ek = jax.device_put(jnp.zeros((256, h), jnp.float32), sh)
+
+    hlo = jax.jit(f).lower(eq, ek).compile().as_text()
+    shapes = _a2a_shapes(hlo)
+    assert shapes, "no all-to-all found in the compiled halo forward"
+    # every exchange is the boundary table: n_shards * h_max rows/device
+    assert all(s == (hfg.halo_rows, h) for s in shapes), shapes
+    # exactly one exchange in forward
+    assert len(shapes) == 1, shapes
+    # and it is a BOUNDARY-sized transfer: below the all_gather path's
+    # O(N_pad) per-device volume even on this tiny graph, where the
+    # per-pair padding to h_max dominates (the gap widens with scale —
+    # see test_halo.py::test_halo_table_smaller_than_allgather)
+    assert hfg.halo_rows < g.n_pad, (hfg.halo_rows, g.n_pad)
+
+
+def test_halo_backward_adds_one_return_exchange(rng):
+    n, e, h = 256, 2048, 16
+    src, dst = _locality_graph(rng, n, e)
+    g = build_graph(src, dst, n, n_pad=256, e_pad=2048)
+    hfg = build_halo_fast_graph(g, 8, agg_type="sum", max_budget=16)
+    mesh = make_mesh((8,), ("graph",))
+    f = make_halo_sir_aggregate(hfg, jnp.tanh, mesh)
+    sh = NamedSharding(mesh, P("graph"))
+    eq = jax.device_put(jnp.zeros((256, h), jnp.float32), sh)
+    ek = jax.device_put(jnp.zeros((256, h), jnp.float32), sh)
+
+    def loss(a, b):
+        return jnp.sum(f(a, b))
+
+    hlo = (jax.jit(jax.grad(loss, argnums=(0, 1)))
+           .lower(eq, ek).compile().as_text())
+    shapes = _a2a_shapes(hlo)
+    # fwd halo recompute + cotangent return — both boundary-sized; the
+    # custom VJP saves node-sized residuals so no third exchange appears
+    assert all(s == (hfg.halo_rows, h) for s in shapes), shapes
+    assert len(shapes) == 2, shapes
+    # no full-node-table collectives anywhere (the all_gather path's
+    # signature): any gather/psum of an [n_pad, h] operand would show as
+    # an all-gather or all-reduce — assert none exist
+    assert "all-gather" not in hlo
+    assert not re.search(r"all-reduce[^\n]*f32\[\d{3,},", hlo)

@@ -145,6 +145,35 @@ def test_concat_form_matches_naive(rng):
     np.testing.assert_allclose(np.asarray(got)[:n], out, atol=2e-4, rtol=1e-4)
 
 
+def test_concat_form_edge_column_order(rng):
+    """Pins the SIREConvBase concat order to the reference CODE —
+    torch.cat((edges.dst['eq'], edges.src['ek'], edges.data['e'])),
+    reference conv.py:201 — so message-MLP weights port verbatim
+    (ADVICE r2). Uses an asymmetric g so any column permutation fails."""
+    n, e_cnt, h, he = 7, 20, 5, 3
+    src = rng.integers(0, n, e_cnt)
+    dst = rng.integers(0, n, e_cnt)
+    g = build_graph(src, dst, n, n_pad=8, e_pad=32)
+    x = rng.normal(size=(8, h))
+    ef = np.zeros((32, he))
+    ef[:e_cnt] = rng.normal(size=(e_cnt, he))
+    W = rng.normal(size=(2 * h + he, 4))
+
+    def gfun(m):
+        return jnp.tanh(m @ jnp.asarray(W))
+
+    # e must be in SORTED edge order for sir_aggregate_concat
+    perm = np.asarray(g.edge_perm)
+    got = sir_aggregate_concat(g, jnp.asarray(x), jnp.asarray(x), gfun,
+                               "sum", e=jnp.asarray(ef[perm]))
+
+    out = np.zeros((n, 4))
+    for i, (s, d) in enumerate(zip(src, dst)):
+        out[d] += np.tanh(np.concatenate([x[d], x[s], ef[i]]) @ W)
+    np.testing.assert_allclose(np.asarray(got)[:n], out, atol=2e-4,
+                               rtol=1e-4)
+
+
 def test_copy_src_aggregate(rng):
     n = 6
     src = np.array([0, 1, 2, 3])

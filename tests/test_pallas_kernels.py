@@ -291,3 +291,31 @@ def test_max_path_b_none_grads(rng):
 
     grads = _jax.grad(loss, argnums=(0, 1, 2))(eq, ek, w)
     assert all(bool(jnp.isfinite(x).all()) for x in grads)
+
+
+def test_pallas_fused_bwd_take_variant(rng):
+    """The lane-concat fused backward take (fuse_bwd_take=True) stays
+    gradient-exact vs the XLA reference (it is default-off on perf
+    grounds — gather_probe3: 512 B rows spill the random-access cache at
+    arxiv scale — but remains supported for narrow models)."""
+    fg, g = make_fg(rng, skew=False)
+    H = 128
+    eq = jnp.asarray(rng.normal(size=(g.n_pad, H)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(g.n_pad, H)), jnp.float32)
+    scale = jnp.asarray(rng.random(g.e_pad), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(g.n_pad, H)), jnp.float32)
+    e0 = jnp.zeros((0,), jnp.float32)
+
+    ref_f = make_ell_sir_aggregate(fg, jnp.tanh, "sum")
+    fus_f = make_ell_sir_aggregate_pallas(fg, jnp.tanh, "sum",
+                                          interpret=True,
+                                          fuse_bwd_take=True)
+
+    def loss(f):
+        return lambda a, b: jnp.sum(f(a, b, e0, scale) * w)
+
+    ref_g = jax.grad(loss(ref_f), argnums=(0, 1))(eq, ek)
+    got_g = jax.grad(loss(fus_f), argnums=(0, 1))(eq, ek)
+    for a, b in zip(got_g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-3)
