@@ -157,22 +157,25 @@ class ReducePlan:
 
 
 def _chunk_budgets(chunk_cnt: np.ndarray) -> np.ndarray:
-    """Budget per chunk: power of two up to 8, multiples of 2 to 16,
-    multiples of 4 to 32, then multiples of 8.
+    """Budget per chunk: power of two up to 8, then next multiple of 8.
 
-    Granularity sets the padded-slot inflation: the round-1 rule
-    (pow2 <= 8, then multiples of 8) paid up to 1.78x for degrees 9-15
-    — 1.35x aggregate on a Poisson(8)-degree graph (the src plan of the
-    power-law bench graph, tests/test_ell.py powerlaw inflation test).
-    The finer steps cost a few extra bucket kernels per pass (one
-    pallas_call per distinct budget) which is noise at step scale."""
-    c = np.maximum(chunk_cnt, 1)
-    pow2 = 2 ** np.ceil(np.log2(c)).astype(np.int64)
+    All budgets are SUBLANE-FRIENDLY (1/2/4/8 or multiples of 8): the
+    kernels view slot streams as (rows, budget, H) and Mosaic tiles the
+    middle dim at 8-sublane granularity, so a non-multiple-of-8 budget
+    pads to the next multiple of 8 in VMEM and on the VPU. A finer rule
+    (multiples of 2 to 16, of 4 to 32) was MEASURED NEGATIVE in round 3
+    (tools/r3bench*.py): it cut slot inflation 1.234x -> 1.062x on the
+    bench graph, but the odd-budget buckets' sublane padding cost more
+    than the saved slots bought — fwd+bwd aggregate 13.34 ms (this
+    rule) vs 15.03 ms (finer rule + the VMEM-safe tile cap it forces).
+    Worst-case inflation of this rule is 1.78x for a degree-9 node;
+    ~1.35x aggregate on a Poisson(8)-degree graph (bounded in
+    tests/test_ell.py powerlaw test); 1.07x at bench scale."""
     return np.where(
-        c <= 8, pow2,
-        np.where(c <= 16, ((c + 1) // 2) * 2,
-                 np.where(c <= 32, ((c + 3) // 4) * 4,
-                          ((c + 7) // 8) * 8))).astype(np.int64)
+        chunk_cnt <= 8,
+        2 ** np.ceil(np.log2(np.maximum(chunk_cnt, 1))).astype(np.int64),
+        ((chunk_cnt + 7) // 8) * 8,
+    ).astype(np.int64)
 
 
 def _bucketize(item_keys: np.ndarray, item_ids: np.ndarray, num_keys: int,

@@ -38,8 +38,14 @@ def pallas_available() -> bool:
 def _tile_rows(budget: int, slot_tile: int = _SLOT_TILE_BWD) -> int:
     # cap rows so the lane-padded (TR, B) scale block stays small and the
     # double-buffered VMEM footprint fits in 16MB; TR must be a multiple
-    # of 8 (sublane divisibility of the (TR, H) blocks)
-    return max((min(slot_tile // budget, 1024) // 8) * 8, 8)
+    # of 8 (sublane divisibility of the (TR, H) blocks). The in-kernel
+    # (TR, B, H) views tile their MIDDLE dim at sublane granularity, so a
+    # non-multiple-of-8 budget occupies ceil(B/8)*8 sublanes of VMEM —
+    # budget the tile on the PADDED width or a B=10 bucket blows the
+    # 16 MB scoped limit (measured: "Scoped allocation with size 16.48M
+    # ... exceeded scoped vmem limit" on the round-3 finer budgets).
+    b_pad = max(-(-budget // 8) * 8, 1) if budget > 1 else 1
+    return max((min(slot_tile // b_pad, 1024) // 8) * 8, 8)
 
 
 def _cdiv(a, b):

@@ -12,8 +12,16 @@ exchanges exactly those rows with ``all_to_all`` instead:
   * each shard's edges are split into **interior** (src owned locally)
     and **boundary** (src remote) sets with separate scatter-free
     :class:`~sir_gcn_tpu.ops.ell.ReducePlan`s. The interior aggregation
-    has no data dependency on the collective, so XLA overlaps it with
-    the halo exchange (the double-buffering from SURVEY §2c P3);
+    has no data dependency on the collective, which lets XLA overlap it
+    with the halo exchange (the double-buffering from SURVEY §2c P3).
+    Evidence (tests/test_halo_overlap.py, from the compiled HLO rather
+    than trust): the forward contains exactly ONE all_to_all whose
+    per-device operand is the boundary table (n_shards x h_max rows —
+    never an O(N_pad) collective), the backward exactly two (halo
+    recompute + cotangent return), and the interior reduce consumes
+    only local operands so the scheduler is free to run it during the
+    exchange; actual concurrent execution on a multi-chip pod slice
+    remains hardware-blocked here (single tunneled chip);
   * backward returns boundary cotangents with the transposed
     ``all_to_all``: reduce per (sender, slot) into the halo table, swap
     blocks back, then a scatter-free reduce keyed by the sent rows. No

@@ -155,3 +155,22 @@ def test_sbm_gat_baseline():
                       "--log-every", "100", "--synthetic-samples", "60",
                       "--batch-size", "32"])
     assert 0.0 <= test[0] <= 1.0
+
+
+def test_step_time_telemetry(capsys):
+    """Perf telemetry (VERDICT r2 item 9): the arxiv harness and a
+    batched harness print a per-epoch step_time_ms line so model-layer
+    perf regressions surface outside bench.py."""
+    from experiments.ogbn_arxiv.train import main as arxiv_main
+
+    arxiv_main(["--nhidden", "8", "--nlayers", "1", "--epochs", "2",
+                "--nruns", "1", "--log-every", "100",
+                "--synthetic-nodes", "256", "--synthetic-edges", "1024"])
+    assert "step_time_ms:" in capsys.readouterr().out
+
+    from experiments.zinc.train import main as zinc_main
+
+    zinc_main(["--nhidden", "8", "--nlayers", "1", "--epochs", "1",
+               "--nruns", "1", "--log-every", "100",
+               "--synthetic-samples", "40", "--batch-size", "16"])
+    assert "step_time_ms:" in capsys.readouterr().out
