@@ -179,6 +179,16 @@ def main(args):
 
     edge_layers_per_s = E * LAYERS / dt
 
+    # Honest speed-of-light for the scatter-free design (ROADMAP round-3
+    # take cost model): the step is RANDOM-TAKE-bound — 3 gather passes
+    # per layer at the measured ~3.9 ns/row — not HBM-stream-bound. The
+    # JSON keeps the HBM-roofline fraction for cross-round
+    # comparability; this line reports the real floor fraction.
+    s_slots = int(graph.dst_plan.num_slots)
+    floor = 3 * LAYERS * s_slots * 3.9e-9 + 8e-3
+    log(f"measured-floor fraction: {floor / dt:.2f} "
+        f"(3 takes/layer x {s_slots} slots x 3.9 ns + ~8 ms fixed)")
+
     # HBM roofline estimate (see module docstring)
     bytes_per_edge_layer = (2 + 4) * HIDDEN * 4
     hbm_bw = 819e9  # v5e

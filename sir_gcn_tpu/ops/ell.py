@@ -51,6 +51,25 @@ def plan_timings() -> dict:
     return dict(_PLAN_TIMINGS)
 
 
+# Host NumPy mirrors of ReducePlan slot arrays, id-keyed and
+# weakref-finalized (same pattern as graph._HOST_MIRRORS).
+_PLAN_MIRRORS: dict = {}
+
+
+def _register_plan_mirror(plan, arrays: dict) -> None:
+    import weakref
+
+    _PLAN_MIRRORS[id(plan)] = arrays
+    weakref.finalize(plan, _PLAN_MIRRORS.pop, id(plan), None)
+
+
+def plan_host_array(plan, name: str) -> np.ndarray:
+    m = _PLAN_MIRRORS.get(id(plan))
+    if m is not None and name in m:
+        return m[name]
+    return np.asarray(getattr(plan, name))
+
+
 @contextlib.contextmanager
 def _timed_stage(stage: str):
     t0 = time.perf_counter()
@@ -348,7 +367,7 @@ def build_reduce_plan(keys: np.ndarray, valid: np.ndarray, num_keys: int,
     key2row[final_keys[realf]] = np.nonzero(realf)[0]
 
     with _timed_stage("plan_upload"):
-        return ReducePlan(
+        plan = ReducePlan(
             slot_edge=jnp.asarray(slot_edge, jnp.int32),
             slot_valid=jnp.asarray(slot_valid),
             slot_key=jnp.asarray(slot_key, jnp.int32),
@@ -360,6 +379,12 @@ def build_reduce_plan(keys: np.ndarray, valid: np.ndarray, num_keys: int,
             buckets2=buckets2,
             num_keys=num_keys,
         )
+    # host mirrors: consumers (build_fast_graph, the distributed
+    # builders) read the slot arrays back on the host — over the
+    # tunneled TPU runtime those fetches cost ~1 s each at arxiv scale
+    _register_plan_mirror(plan, dict(slot_edge=slot_edge,
+                                     slot_valid=slot_valid))
+    return plan
 
 
 # ======================================================================
@@ -534,10 +559,12 @@ def build_fast_graph(graph: GraphBatch,
     src_plan = build_reduce_plan(src, valid, n, max_budget)
 
     with _timed_stage("fetch_plans"):
-        dst_slot_edge = np.asarray(dst_plan.slot_edge, np.int64)
-        src_slot_edge = np.asarray(src_plan.slot_edge, np.int64)
-        dvalid = np.asarray(dst_plan.slot_valid) > 0
-        svalid = np.asarray(src_plan.slot_valid) > 0
+        dst_slot_edge = np.asarray(plan_host_array(dst_plan, "slot_edge"),
+                                   np.int64)
+        src_slot_edge = np.asarray(plan_host_array(src_plan, "slot_edge"),
+                                   np.int64)
+        dvalid = plan_host_array(dst_plan, "slot_valid") > 0
+        svalid = plan_host_array(src_plan, "slot_valid") > 0
     with _timed_stage("fg_host"):
         dst_slot_srcnode = src[dst_slot_edge]
         src_slot_dstnode = dst[src_slot_edge]
@@ -1210,8 +1237,8 @@ def harmonize_reduce_plans(plans: list) -> list:
 
     out = []
     for p in plans:
-        se = np.asarray(p.slot_edge)
-        sv = np.asarray(p.slot_valid)
+        se = plan_host_array(p, "slot_edge")
+        sv = plan_host_array(p, "slot_valid")
         sk = np.asarray(p.slot_key)
         rk = np.asarray(p.row_key)
         (se2, sv2, sk2), rowmap1, n_rows1 = relayout_stage(
