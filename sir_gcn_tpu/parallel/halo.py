@@ -144,9 +144,26 @@ def build_halo_fast_graph(
     assert graph.n_pad % n_shards == 0
     n_local = graph.n_pad // n_shards
     S = n_shards
-    src = np.asarray(graph.src, np.int64)
-    dst = np.asarray(graph.dst, np.int64)
-    valid = np.asarray(graph.edge_mask, bool)
+    from ..graph import host_array
+
+    src = np.asarray(host_array(graph, "src"), np.int64)
+    dst = np.asarray(host_array(graph, "dst"), np.int64)
+    valid = np.asarray(host_array(graph, "edge_mask"), bool)
+
+    # Content memo (same rationale as ops.ell.build_fast_graph): the
+    # full-graph harnesses rebuild the identical graph once per --nruns
+    # run; the halo schedule depends only on structure + build options.
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.ascontiguousarray(src).tobytes())
+    h.update(np.ascontiguousarray(dst).tobytes())
+    h.update(np.ascontiguousarray(valid).tobytes())
+    key = (h.hexdigest(), graph.n_pad, graph.e_pad, n_shards, agg_type,
+           max_budget)
+    hit = _HALO_MEMO.get(key)
+    if hit is not None:
+        return hit
 
     from ..ops.ell import static_edge_scale
 
@@ -273,7 +290,7 @@ def build_halo_fast_graph(
     unslice = owner_e * e_max + np.minimum(
         np.arange(graph.e_pad) - bounds[owner_e], e_max - 1)
 
-    return HaloFastGraph(
+    hfg_out = HaloFastGraph(
         dst_plan_i=_stack_plans(dplans_i),
         dst_plan_b=_stack_plans(dplans_b),
         src_plan_i=_stack_plans(splans_i),
@@ -304,6 +321,10 @@ def build_halo_fast_graph(
         e_max=e_max,
         agg_type=agg_type,
     )
+    while len(_HALO_MEMO) >= _HALO_MEMO_MAX:
+        _HALO_MEMO.pop(next(iter(_HALO_MEMO)))
+    _HALO_MEMO[key] = hfg_out
+    return hfg_out
 
 
 @jax.tree_util.register_dataclass
@@ -417,6 +438,9 @@ def _sm_view(hfg: HaloFastGraph):
     return dataclasses.replace(hfg,
                                edge_unslice=jnp.zeros((8,), jnp.int32))
 
+
+_HALO_MEMO: dict = {}
+_HALO_MEMO_MAX = 2
 
 _BUILDER_CACHE: dict = {}
 
