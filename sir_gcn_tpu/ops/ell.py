@@ -176,25 +176,28 @@ class ReducePlan:
 
 
 def _chunk_budgets(chunk_cnt: np.ndarray) -> np.ndarray:
-    """Budget per chunk: power of two up to 8, then next multiple of 8.
+    """Budget per chunk: power of two up to 8, multiples of 2 to 16,
+    multiples of 4 to 32, then multiples of 8.
 
-    All budgets are SUBLANE-FRIENDLY (1/2/4/8 or multiples of 8): the
-    kernels view slot streams as (rows, budget, H) and Mosaic tiles the
-    middle dim at 8-sublane granularity, so a non-multiple-of-8 budget
-    pads to the next multiple of 8 in VMEM and on the VPU. A finer rule
-    (multiples of 2 to 16, of 4 to 32) was MEASURED NEGATIVE in round 3
-    (tools/r3bench*.py): it cut slot inflation 1.234x -> 1.062x on the
-    bench graph, but the odd-budget buckets' sublane padding cost more
-    than the saved slots bought — fwd+bwd aggregate 13.34 ms (this
-    rule) vs 15.03 ms (finer rule + the VMEM-safe tile cap it forces).
-    Worst-case inflation of this rule is 1.78x for a degree-9 node;
-    ~1.35x aggregate on a Poisson(8)-degree graph (bounded in
-    tests/test_ell.py powerlaw test); 1.07x at bench scale."""
+    The finer steps cut slot inflation 1.234x -> 1.062x on the bench
+    graph, and fewer slots means fewer random-take ROWS — the step's
+    actual bottleneck (the round-3 take cost model: ~3.9 ns/row).
+    Measured at STEP level with 3-window variance protocols (round 3):
+    full train step 101.49 ms with this rule vs 105.41 ms with the
+    coarse (pow2<=8, multiples-of-8) rule, spread <=0.2%. Caveats both
+    measured and accounted: (a) non-multiple-of-8 budgets sublane-pad
+    inside the kernels' (rows, budget, H) views, so ``_tile_rows``
+    budgets VMEM on the PADDED middle dim (a B=10 bucket otherwise
+    exceeds the 16 MB scoped limit); (b) a bare-aggregate microbench
+    reads ~1.5 ms/layer SLOWER under this rule (VPU padding on odd
+    buckets) — the step-level take savings dominate regardless."""
+    c = np.maximum(chunk_cnt, 1)
+    pow2 = 2 ** np.ceil(np.log2(c)).astype(np.int64)
     return np.where(
-        chunk_cnt <= 8,
-        2 ** np.ceil(np.log2(np.maximum(chunk_cnt, 1))).astype(np.int64),
-        ((chunk_cnt + 7) // 8) * 8,
-    ).astype(np.int64)
+        c <= 8, pow2,
+        np.where(c <= 16, ((c + 1) // 2) * 2,
+                 np.where(c <= 32, ((c + 3) // 4) * 4,
+                          ((c + 7) // 8) * 8))).astype(np.int64)
 
 
 def _bucketize(item_keys: np.ndarray, item_ids: np.ndarray, num_keys: int,

@@ -302,12 +302,12 @@ def test_plan_inflation_and_correctness_powerlaw(rng):
     g = build_graph(src, dst, n, pad_multiple=128)
     fg = build_fast_graph(g)
     E = int(g.num_edges)
-    # documented bound (see ops/ell.py _chunk_budgets): sublane-friendly
-    # budgets cap worst-case inflation at 1.45x aggregate — the Zipf dst
-    # side stays tight, the Poisson(8) src side pays the 9->16 step (a
-    # finer rule measured SLOWER on chip despite fewer slots)
-    assert fg.dst_plan.num_slots / E < 1.3, fg.dst_plan.buckets1
-    assert fg.src_plan.num_slots / E < 1.45, fg.src_plan.buckets1
+    # the finer budget rule (ops/ell.py _chunk_budgets) bounds inflation
+    # ~1.1x even on the Poisson(8) src side — and fewer slots = fewer
+    # random-take rows, the step's real bottleneck (measured 101.49 vs
+    # 105.41 ms/step vs the coarse rule)
+    assert fg.dst_plan.num_slots / E < 1.2, fg.dst_plan.buckets1
+    assert fg.src_plan.num_slots / E < 1.2, fg.src_plan.buckets1
 
     h = 8
     eq = jnp.asarray(rng.normal(size=(g.n_pad, h)), jnp.float32)
