@@ -89,18 +89,24 @@ def main(args):
     log(f"padded: n_pad={graph.n_pad} e_pad={graph.e_pad} edges={E}")
     log("building ELL fast-graph plans ...")
     from sir_gcn_tpu.ops import set_edge_dtype
-    from sir_gcn_tpu.ops.ell import build_fast_graph, plan_timings
+    from sir_gcn_tpu.ops.ell import (
+        build_fast_graph,
+        last_build_memo_hit,
+        plan_timings,
+    )
     t_plan = time.time()
     graph = build_fast_graph(graph)
+    plan_seconds = time.time() - t_plan
     deg = np.bincount(np.asarray(dst), minlength=N)
-    log(f"plans: {time.time() - t_plan:.1f}s; slot inflation "
+    log(f"plans: {plan_seconds:.1f}s; slot inflation "
         f"dst {graph.dst_plan.num_slots / max(E, 1):.3f}x "
         f"src {graph.src_plan.num_slots / max(E, 1):.3f}x; "
         f"max in-degree {int(deg.max())}; "
         f"dst buckets {graph.dst_plan.buckets1}")
     log("plan stage timings: " + ", ".join(
         f"{k}={v:.2f}s" for k, v in sorted(plan_timings().items(),
-                                           key=lambda kv: -kv[1])))
+                                           key=lambda kv: -kv[1]))
+        + (" (memo hit)" if last_build_memo_hit() else ""))
     # bf16 edge pipeline (f32 accumulation) — the framework's AMP analog
     set_edge_dtype(jnp.bfloat16)
     if args.remat:
@@ -182,24 +188,37 @@ def main(args):
     # Honest speed-of-light for the scatter-free design (ROADMAP round-3
     # take cost model): the step is RANDOM-TAKE-bound — 3 gather passes
     # per layer at the measured ~3.9 ns/row — not HBM-stream-bound. The
-    # JSON keeps the HBM-roofline fraction for cross-round
-    # comparability; this line reports the real floor fraction.
-    s_slots = int(graph.dst_plan.num_slots)
-    floor = 3 * LAYERS * s_slots * 3.9e-9 + 8e-3
-    log(f"measured-floor fraction: {floor / dt:.2f} "
-        f"(3 takes/layer x {s_slots} slots x 3.9 ns + ~8 ms fixed)")
+    # forward take runs over the dst plan's slots; the two backward takes
+    # (eq[dst_e], g[dst_e]) over the src plan's. The JSON keeps the
+    # HBM-roofline fraction for cross-round comparability and ALSO
+    # carries the floor fraction / plan time so the artifact self-grades
+    # against the measured speed-of-light, not only the unreachable
+    # stream roofline (VERDICT r3 item 5).
+    d_slots = int(graph.dst_plan.num_slots)
+    s_slots = int(graph.src_plan.num_slots)
+    floor = LAYERS * (d_slots + 2 * s_slots) * 3.9e-9 + 8e-3
+    floor_fraction = floor / dt
+    log(f"measured-floor fraction: {floor_fraction:.2f} "
+        f"((1 x {d_slots} dst + 2 x {s_slots} src slots)/layer "
+        f"x 3.9 ns + ~8 ms fixed)")
 
     # HBM roofline estimate (see module docstring)
     bytes_per_edge_layer = (2 + 4) * HIDDEN * 4
     hbm_bw = 819e9  # v5e
     roofline = hbm_bw / bytes_per_edge_layer
 
-    print(json.dumps({
+    record = {
         "metric": "arxiv_sir_fwd_bwd_edge_layers_per_s",
         "value": round(edge_layers_per_s, 1),
         "unit": "edge-layers/s/chip",
         "vs_baseline": round(edge_layers_per_s / roofline, 4),
-    }))
+        "step_ms": round(dt * 1e3, 2),
+        "floor_fraction": round(floor_fraction, 4),
+        "plan_seconds": round(plan_seconds, 2),
+    }
+    if args.graph == "powerlaw":
+        record["powerlaw_step_ms"] = record["step_ms"]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

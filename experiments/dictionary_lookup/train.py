@@ -220,6 +220,10 @@ def main(argv=None):
         train_acc, test_acc = run_single(args, args.seed + i)
         train_accs.append(train_acc)
         test_accs.append(test_acc)
+        # per-run progress on stderr so interrupted multi-run protocols
+        # keep their completed seeds (stdout stays reference-shaped)
+        print(f"[run {i} seed {args.seed + i}] train acc {train_acc:.6f} "
+              f"test acc {test_acc:.6f}", file=sys.stderr, flush=True)
 
     print(args)
     print(f"Runned {args.nruns} times")

@@ -174,6 +174,10 @@ def main(argv=None):
         l, tl = run_single(args, args.seed + i)
         losses.append(l)
         test_losses.append(tl)
+        # per-run progress on stderr so interrupted multi-run protocols
+        # keep their completed seeds (stdout stays reference-shaped)
+        print(f"[run {i} seed {args.seed + i}] train MSE {l:.8f} "
+              f"test MSE {tl:.8f}", file=sys.stderr, flush=True)
 
     print(args)
     print(f"Runned {args.nruns} times")

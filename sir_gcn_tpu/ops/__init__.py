@@ -1,6 +1,7 @@
 from . import message_passing, pool, segment
 from .ell import FastGraph, build_fast_graph
 from .message_passing import (
+    allow_large_edge_aggregate,
     copy_src_aggregate,
     get_edge_dtype,
     get_remat,

@@ -20,6 +20,7 @@ Empty-neighborhood semantics follow DGL: sum/mean -> 0, max -> 0 (zero fill).
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Optional
 
 import jax
@@ -27,6 +28,61 @@ import jax.numpy as jnp
 
 from ..graph import GraphBatch
 from . import segment as seg
+
+# Scale guards (measured bounds: ROADMAP "Measured bounds for the
+# XLA-composed edge/max variants", tools/r3bench2.py on a v5e chip).
+# At full-graph scale the edge-feature (SIREConv) fwd+bwd jit compiles
+# pathologically — >25 minutes at 2.5M edges x H=128, twice reproduced:
+# the [E_pad, H] edge-cotangent unslice blows up XLA's scheduling — so
+# crossing EDGE_FEATURE_EDGE_LIMIT raises instead of silently hanging
+# the user's first step. Max aggregation compiles and runs but pays the
+# per-edge W_R GEMM (reference models/conv.py:47): 108.89 ms/iter at
+# 2.5M edges / H=96, ~8x the linear-aggregation path — crossing
+# MAX_AGG_WARN_EDGES warns once with that number. No reference workload
+# runs either variant at full-graph scale (SIREConv: ZINC/molhiv
+# molecules of ~23-40 nodes; max: heterophilous graphs <= ~1M edges).
+EDGE_FEATURE_EDGE_LIMIT = 500_000
+MAX_AGG_WARN_EDGES = 500_000
+_ALLOW_LARGE_EDGE_AGG = False
+_MAX_AGG_WARNED: set = set()
+
+
+def allow_large_edge_aggregate(enabled: bool = True) -> None:
+    """Override the edge-feature scale guard: permit ``sir_aggregate``
+    with edge features above ``EDGE_FEATURE_EDGE_LIMIT`` edges. Expect
+    XLA compile times that grow pathologically with E_pad (measured
+    >25 min at 2.5M edges — ROADMAP); prefer graph partitioning or
+    batching instead."""
+    global _ALLOW_LARGE_EDGE_AGG
+    _ALLOW_LARGE_EDGE_AGG = bool(enabled)
+
+
+def _scale_guards(graph, agg_type: str, has_edge_feats: bool) -> None:
+    e_pad = int(graph.e_pad)
+    if (has_edge_feats and e_pad > EDGE_FEATURE_EDGE_LIMIT
+            and not _ALLOW_LARGE_EDGE_AGG):
+        raise ValueError(
+            f"sir_aggregate with edge features on a graph with "
+            f"{e_pad} padded edges (> {EDGE_FEATURE_EDGE_LIMIT}): the "
+            f"backward's [E_pad, H] edge-cotangent reconstruction makes "
+            f"XLA compile times blow up at this scale (measured >25 min "
+            f"at 2.5M edges — see ROADMAP.md). SIREConv-style layers are "
+            f"intended for batched molecular graphs; for full-graph "
+            f"training drop edge features, or partition the graph, or "
+            f"call sir_gcn_tpu.ops.allow_large_edge_aggregate(True) to "
+            f"proceed anyway.")
+    if agg_type == "max" and e_pad > MAX_AGG_WARN_EDGES:
+        if e_pad not in _MAX_AGG_WARNED:  # once per graph size
+            _MAX_AGG_WARNED.add(e_pad)
+            warnings.warn(
+                f"max aggregation on a graph with {e_pad} padded edges "
+                f"pays a per-edge W_R matmul before the reduce "
+                f"(reference models/conv.py:47): measured 108.89 ms/iter "
+                f"at 2.5M edges / H=96 on a v5e chip, ~8x the linear-"
+                f"aggregation path (ROADMAP.md). Consider agg_type "
+                f"'sum'/'mean'/'sym' at full-graph scale.",
+                stacklevel=3)
+
 
 _EDGE_DTYPE = None  # None (f32) | jnp.bfloat16
 
@@ -106,6 +162,7 @@ def sir_aggregate(
     """
     if agg_type not in ("sum", "mean", "max", "sym"):
         raise NotImplementedError(f"agg_type = {agg_type} not implemented")
+    _scale_guards(graph, agg_type, e is not None)
 
     if type(graph).__name__ == "HaloGraph":  # lazy: avoid import cycle
         from ..parallel.halo import halo_sir_aggregate

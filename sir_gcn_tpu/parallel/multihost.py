@@ -14,22 +14,43 @@ import jax
 
 from .mesh import make_mesh
 
-# env vars whose presence indicates a real cluster launch; bare
-# auto-initialize is only attempted when one of these is set, because
-# partially-populated cluster envs can make initialize() BLOCK on a
-# coordinator connection instead of raising (hanging single-process runs).
-# Cloud TPU pod VMs export TPU_WORKER_ID / TPU_WORKER_HOSTNAMES /
-# CLOUD_TPU_TASK_ID even when the coordinator address comes from GCE
-# metadata rather than the environment, so metadata-driven pod launches
-# are detected too. A pod environment that exports NONE of these must
-# pass ``auto=True`` (or explicit coordinator args) — otherwise each host
+# Bare auto-initialize is only attempted on EVIDENCE OF >1 WORKER,
+# because partially-populated cluster envs can make initialize() BLOCK on
+# a coordinator connection instead of raising (hanging single-process
+# runs). Mere presence of TPU_WORKER_ID is not evidence: single-host
+# Cloud TPU VMs commonly export TPU_WORKER_ID=0, so it counts only when
+# it is nonzero or TPU_WORKER_HOSTNAMES lists more than one host. A pod
+# environment that exports none of the signals below must pass
+# ``auto=True`` (or explicit coordinator args) — otherwise each host
 # silently runs as an independent single-process runtime.
-_CLUSTER_ENV_VARS = (
+_COORDINATOR_ENV_VARS = (
     "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-    "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
-    "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID",
-    "SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE",
+    "MEGASCALE_COORDINATOR_ADDRESS",
 )
+
+
+def _multiworker_env(env=None) -> bool:
+    """True iff the environment shows evidence of MORE THAN ONE worker."""
+    env = os.environ if env is None else env
+    if any(v in env for v in _COORDINATOR_ENV_VARS):
+        return True
+    hostnames = [h for h in env.get("TPU_WORKER_HOSTNAMES", "").split(",")
+                 if h.strip()]
+    if len(hostnames) > 1:
+        return True
+    for var in ("TPU_WORKER_ID", "CLOUD_TPU_TASK_ID"):
+        try:
+            if int(env.get(var, "0")) > 0:
+                return True  # worker k>0 implies >=k+1 workers
+        except ValueError:
+            pass
+    for var in ("SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(env.get(var, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
 
 
 def initialize_multihost(
@@ -41,17 +62,17 @@ def initialize_multihost(
     """Initialize jax.distributed and report the global topology.
 
     Explicit arguments always initialize. With no arguments,
-    auto-detection runs only when ``auto=True`` or a known cluster env
-    var is present (see ``_CLUSTER_ENV_VARS``); otherwise the runtime
-    stays single-process without touching jax.distributed."""
+    auto-detection runs only when ``auto=True`` or the environment shows
+    evidence of more than one worker (see :func:`_multiworker_env`);
+    otherwise the runtime stays single-process without touching
+    jax.distributed."""
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    elif num_processes is None and (
-            auto or any(v in os.environ for v in _CLUSTER_ENV_VARS)):
+    elif num_processes is None and (auto or _multiworker_env()):
         try:
             jax.distributed.initialize()
         except Exception:

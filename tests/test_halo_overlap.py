@@ -4,10 +4,13 @@ Asserts — from the compiled HLO, not from trust — that the halo forward
 moves exactly ONE boundary-sized all_to_all of (n_shards * h_max) rows
 per device (O(boundary x H) bytes), never an O(N_pad x H) collective,
 and that the backward adds exactly the documented second exchange (one
-halo recompute + one cotangent return). The interior/boundary *overlap*
-claim is validated on the real TPU schedule by tools/overlap_probe.py
-(async all-to-all-start/done pairs with interior work in between);
-this file pins the structural preconditions the overlap rests on.
+halo recompute + one cotangent return). These are the structural
+PRECONDITIONS for interior/exchange overlap, not a concurrency witness:
+``tools/overlap_probe.py`` inspects the compiled module for async
+all-to-all-start/done pairs and reports (recorded in ROADMAP) that the
+CPU virtual mesh emits the collective SYNCHRONOUSLY — so concurrency
+can be neither witnessed nor refuted here; the schedule-level witness
+needs a multi-chip TPU slice, which this environment does not have.
 """
 
 import re
