@@ -41,14 +41,30 @@ from ..graph import GraphBatch
 
 MAX_BUDGET = 256
 
-# Stage timings of the most recent build_fast_graph call (seconds).
+# Stage timings of the most recent top-level plan build (seconds).
 # Read via plan_timings() after building; bench.py logs them. The
-# timers themselves are ~20 perf_counter calls — free.
+# timers themselves are ~20 perf_counter calls — free. Every top-level
+# builder (build_fast_graph here; the sharded/halo builders in
+# parallel/) calls reset_plan_timings() on entry so standalone
+# build_reduce_plan calls don't accumulate across unrelated builds.
 _PLAN_TIMINGS: dict = {}
+_LAST_MEMO_HIT: bool = False
 
 
 def plan_timings() -> dict:
     return dict(_PLAN_TIMINGS)
+
+
+def reset_plan_timings() -> None:
+    global _LAST_MEMO_HIT
+    _PLAN_TIMINGS.clear()
+    _LAST_MEMO_HIT = False
+
+
+def last_build_memo_hit() -> bool:
+    """Whether the most recent top-level plan build was a content-memo
+    hit (in which case plan_timings() holds only the hash stage)."""
+    return _LAST_MEMO_HIT
 
 
 # Host NumPy mirrors of ReducePlan slot arrays, id-keyed and
@@ -82,6 +98,37 @@ def _timed_stage(stage: str):
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _batch_device_put(arrays: list) -> list:
+    """Upload many small host arrays as ONE transfer per dtype, sliced
+    back apart on the device.
+
+    ``arrays``: list of (1-D np array, target dtype). The tunneled PJRT
+    runtime pays a fixed per-transfer latency, so the ~25 separate
+    plan/fast-graph uploads cost seconds where two concatenated ones cost
+    a fraction (round-4 cold-start work; see ROADMAP). Device-side
+    slicing dispatches asynchronously and the big staging buffer frees
+    once the slices materialize."""
+    from collections import defaultdict
+
+    by_dt = defaultdict(list)
+    for i, (arr, dt) in enumerate(arrays):
+        by_dt[np.dtype(dt)].append(i)
+    out = [None] * len(arrays)
+    for dt, idxs in by_dt.items():
+        flats = [np.ascontiguousarray(
+            np.asarray(arrays[i][0]).astype(dt, copy=False)).reshape(-1)
+            for i in idxs]
+        if len(flats) == 1:
+            out[idxs[0]] = jax.device_put(flats[0])
+            continue
+        big = jax.device_put(np.concatenate(flats))
+        off = 0
+        for i, f in zip(idxs, flats):
+            out[i] = jax.lax.slice(big, (off,), (off + f.size,))
+            off += f.size
+    return out
 
 
 # ======================================================================
@@ -356,11 +403,10 @@ def build_reduce_plan(keys: np.ndarray, valid: np.ndarray, num_keys: int,
             assert (np.bincount(row_keys2, minlength=num_keys)
                     .max(initial=0) <= 1)
         final_keys, n_final = row_keys2, len(row_keys2)
-        s2_gather_j = jnp.asarray(s2_gather, jnp.int32)
-        s2_valid_j = jnp.asarray(s2_valid)
+        s2_gather_np, s2_valid_np = s2_gather, s2_valid
         buckets2 = tuple(buckets2)
     else:
-        s2_gather_j = s2_valid_j = None
+        s2_gather_np = s2_valid_np = None
         buckets2 = None
         final_keys, n_final = row_keys, n_rows1
 
@@ -370,14 +416,20 @@ def build_reduce_plan(keys: np.ndarray, valid: np.ndarray, num_keys: int,
     key2row[final_keys[realf]] = np.nonzero(realf)[0]
 
     with _timed_stage("plan_upload"):
+        ups = [(slot_edge, np.int32), (slot_key, np.int32),
+               (row_key_dev, np.int32), (key2row, np.int32),
+               (slot_valid, np.float32)]
+        if s2_gather_np is not None:
+            ups += [(s2_gather_np, np.int32), (s2_valid_np, np.float32)]
+        dev = _batch_device_put(ups)
         plan = ReducePlan(
-            slot_edge=jnp.asarray(slot_edge, jnp.int32),
-            slot_valid=jnp.asarray(slot_valid),
-            slot_key=jnp.asarray(slot_key, jnp.int32),
-            row_key=jnp.asarray(row_key_dev, jnp.int32),
-            s2_gather=s2_gather_j,
-            s2_valid=s2_valid_j,
-            key2row=jnp.asarray(key2row, jnp.int32),
+            slot_edge=dev[0],
+            slot_valid=dev[4],
+            slot_key=dev[1],
+            row_key=dev[2],
+            s2_gather=dev[5] if s2_gather_np is not None else None,
+            s2_valid=dev[6] if s2_gather_np is not None else None,
+            key2row=dev[3],
             buckets1=tuple(buckets1),
             buckets2=buckets2,
             num_keys=num_keys,
@@ -528,7 +580,7 @@ def build_fast_graph(graph: GraphBatch,
     """
     from ..graph import host_array
 
-    _PLAN_TIMINGS.clear()
+    reset_plan_timings()
     with _timed_stage("fetch_host"):
         src32 = host_array(graph, "src")
         dst32 = host_array(graph, "dst")
@@ -539,8 +591,10 @@ def build_fast_graph(graph: GraphBatch,
 
     # Content-keyed memo: the experiment harnesses rebuild the SAME graph
     # once per --nruns run (reference analog: create_formats_() paid once,
-    # benchmark-datasets/ogbn-arxiv/train.py:55). Plans depend only on the
-    # structure arrays + build options, so repeated runs reuse them.
+    # benchmark-datasets/ogbn-arxiv/train.py:55). Plans depend on the
+    # structure arrays + DEGREES (host_array supports sliced/deserialized
+    # GraphBatches whose degrees need not derive from src/dst — the static
+    # scales bake them in, so they must key the memo) + build options.
     with _timed_stage("memo_hash"):
         import hashlib
 
@@ -548,11 +602,14 @@ def build_fast_graph(graph: GraphBatch,
         h.update(np.ascontiguousarray(src32).tobytes())
         h.update(np.ascontiguousarray(dst32).tobytes())
         h.update(np.ascontiguousarray(valid).tobytes())
+        h.update(np.ascontiguousarray(in_deg).tobytes())
+        h.update(np.ascontiguousarray(out_deg).tobytes())
         key = (h.hexdigest(), n, graph.e_pad, max_budget,
                tuple(static_scales))
     hit = _FAST_GRAPH_MEMO.get(key)
     if hit is not None:
-        _PLAN_TIMINGS["memo_hit"] = 1.0
+        global _LAST_MEMO_HIT
+        _LAST_MEMO_HIT = True
         return dataclasses.replace(hit, graph=graph)
 
     src = np.asarray(src32, np.int64)
@@ -579,7 +636,7 @@ def build_fast_graph(graph: GraphBatch,
         edge2src_slot = np.zeros(graph.e_pad, np.int64)
         edge2src_slot[src_slot_edge[svalid]] = np.nonzero(svalid)[0]
 
-    dst_scales = src_scales = None
+    dst_scales_np = src_scales_np = None
     if static_scales:
         with _timed_stage("scales_host"):
             base = {agg: static_edge_scale(agg, src, dst, valid,
@@ -593,23 +650,36 @@ def build_fast_graph(graph: GraphBatch,
             src_scales_np = {
                 a: (b[src_slot_edge] * ssv).astype(np.float32)
                 for a, b in base.items()}
-        with _timed_stage("fg_upload"):
-            dst_scales = {a: jnp.asarray(v)
-                          for a, v in dst_scales_np.items()}
-            src_scales = {a: jnp.asarray(v)
-                          for a, v in src_scales_np.items()}
 
     with _timed_stage("fg_upload"):
+        ups = [(dst_slot_srcnode, np.int32),
+               (src_slot_dstnode, np.int32),
+               (src_slot_from_dst_slot, np.int32),
+               (edge2dst_slot, np.int32),
+               (edge2src_slot, np.int32)]
+        scale_keys = []
+        if static_scales:
+            for a, v in dst_scales_np.items():
+                scale_keys.append(("dst", a))
+                ups.append((v, np.float32))
+            for a, v in src_scales_np.items():
+                scale_keys.append(("src", a))
+                ups.append((v, np.float32))
+        dev = _batch_device_put(ups)
+        dst_scales = src_scales = None
+        if static_scales:
+            dst_scales, src_scales = {}, {}
+            for (side, a), arr in zip(scale_keys, dev[5:]):
+                (dst_scales if side == "dst" else src_scales)[a] = arr
         fg = FastGraph(
             graph=graph,
             dst_plan=dst_plan,
             src_plan=src_plan,
-            dst_slot_srcnode=jnp.asarray(dst_slot_srcnode, jnp.int32),
-            src_slot_dstnode=jnp.asarray(src_slot_dstnode, jnp.int32),
-            src_slot_from_dst_slot=jnp.asarray(src_slot_from_dst_slot,
-                                               jnp.int32),
-            edge2dst_slot=jnp.asarray(edge2dst_slot, jnp.int32),
-            edge2src_slot=jnp.asarray(edge2src_slot, jnp.int32),
+            dst_slot_srcnode=dev[0],
+            src_slot_dstnode=dev[1],
+            src_slot_from_dst_slot=dev[2],
+            edge2dst_slot=dev[3],
+            edge2src_slot=dev[4],
             dst_slot_scales=dst_scales,
             src_slot_scales=src_scales,
         )

@@ -74,14 +74,18 @@ def build_sharded_fast_graph(
     """
     assert graph.n_pad % n_shards == 0
     n_local = graph.n_pad // n_shards
-    src = np.asarray(graph.src, np.int64)
-    dst = np.asarray(graph.dst, np.int64)
-    valid = np.asarray(graph.edge_mask, bool)
+    from ..graph import host_array
+    from ..ops.ell import reset_plan_timings, static_edge_scale
 
-    from ..ops.ell import static_edge_scale
+    reset_plan_timings()
+    src = np.asarray(host_array(graph, "src"), np.int64)
+    dst = np.asarray(host_array(graph, "dst"), np.int64)
+    valid = np.asarray(host_array(graph, "edge_mask"), bool)
 
-    escale = static_edge_scale(agg_type, src, dst, valid, graph.in_deg,
-                               graph.out_deg).astype(np.float32)
+    escale = static_edge_scale(agg_type, src, dst, valid,
+                               host_array(graph, "in_deg"),
+                               host_array(graph, "out_deg")
+                               ).astype(np.float32)
 
     # dst-sorted => shard s owns the contiguous edge slice with
     # dst in [s*n_local, (s+1)*n_local)
@@ -247,6 +251,7 @@ def make_sharded_sir_aggregate_pallas(
     axis: str = "graph",
     edge_dtype=None,
     interpret: bool = False,
+    elide_unit_collectives: bool = True,
 ):
     """Fused-kernel variant of :func:`make_sharded_sir_aggregate` for
     ELEMENTWISE activations: each shard's local compute runs the same
@@ -254,7 +259,16 @@ def make_sharded_sir_aggregate_pallas(
     forward emitting the derivative-mass sbar, node-table-major src-major
     backward), so per-chip throughput matches the single-chip path while
     the collectives stay all_gather (fwd) / psum_scatter (bwd).
-    ``edge_dtype=None`` follows the global ``set_edge_dtype`` setting."""
+    ``edge_dtype=None`` follows the global ``set_edge_dtype`` setting.
+
+    Comms notes (round 4): the halo ``all_gather`` runs in the EDGE dtype
+    (the gathered table only ever feeds bf16 slot gathers and the
+    f32-accumulating kernels, so carrying it bf16 halves the collective
+    bytes with numerics identical to the single-device bf16 pipeline);
+    the cotangent ``psum_scatter`` stays f32 (it accumulates). On a
+    1-device mesh axis both collectives are provably identities and are
+    elided at trace time (``elide_unit_collectives=False`` restores the
+    literal program for A/B measurement — tools/r4bench.py)."""
     from ..ops.ell import _bucket_offsets
     from ..ops.message_passing import get_edge_dtype
     from ..ops.pallas import bucket_bcast_act_reduce2, bucket_src_bwd
@@ -265,17 +279,29 @@ def make_sharded_sir_aggregate_pallas(
     plan_spec = jax.tree_util.tree_map(lambda _: P(axis), sfg)
     offs_d = _bucket_offsets(sfg.dst_plan.buckets1)
     offs_s = _bucket_offsets(sfg.src_plan.buckets1)
+    unit = elide_unit_collectives and mesh.shape[axis] == 1
 
     def cast(x):
         return x.astype(edge_dtype) if edge_dtype is not None else x
+
+    def gather_full(ek_l):
+        if unit:
+            return cast(ek_l)
+        return jax.lax.all_gather(cast(ek_l), axis, axis=0, tiled=True)
+
+    def scatter_back(g_full):
+        if unit:
+            return g_full
+        return jax.lax.psum_scatter(g_full, axis, scatter_dimension=0,
+                                    tiled=True)
 
     def cat(xs):
         return jnp.concatenate(xs) if len(xs) > 1 else xs[0]
 
     def local_fwd2(eq_l, ek_l, sfg_l):
         dplan = _unstack_plan(sfg_l.dst_plan)
-        ek_full = jax.lax.all_gather(ek_l, axis, axis=0, tiled=True)
-        ekg = jnp.take(cast(ek_full), sfg_l.slot_srcnode[0], axis=0)
+        ek_full = gather_full(ek_l)
+        ekg = jnp.take(ek_full, sfg_l.slot_srcnode[0], axis=0)
         eq_rows = jnp.take(eq_l, dplan.row_key, axis=0)
         s = sfg_l.slot_scale[0].astype(jnp.float32)
         rows, srows = [], []
@@ -293,7 +319,9 @@ def make_sharded_sir_aggregate_pallas(
         splan = _unstack_plan(sfg_l.src_plan)
         eqg = jnp.take(cast(eq_l), sfg_l.src_slot_dstnode[0], axis=0)
         gg = jnp.take(cast(g_l), sfg_l.src_slot_dstnode[0], axis=0)
-        ek_full = jax.lax.all_gather(ek_l, axis, axis=0, tiled=True)
+        # recomputes the forward's gather_full — CSE'd when fwd+bwd
+        # compile into one step program
+        ek_full = gather_full(ek_l)
         ek_rows = jnp.take(ek_full, splan.row_key, axis=0)
         s = sfg_l.src_slot_scale[0].astype(jnp.float32)
         rows = []
@@ -304,8 +332,7 @@ def make_sharded_sir_aggregate_pallas(
                 gg[so:so + b * nr], b, activation, interpret=interpret)
             rows.append(r)
         g_ek_full = splan.finalize_rows_sum(cat(rows))
-        return jax.lax.psum_scatter(g_ek_full, axis, scatter_dimension=0,
-                                    tiled=True)
+        return scatter_back(g_ek_full)
 
     fwd2_sm = jax.jit(shard_map(
         local_fwd2, mesh=mesh,
