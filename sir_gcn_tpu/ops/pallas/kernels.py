@@ -233,7 +233,9 @@ def bucket_src_bwd(
 
     out_specs = [pl.BlockSpec((TR, H), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((R, H), ek_rows.dtype)]
+    # gradients accumulate in f32 regardless of the (possibly bf16)
+    # row-table dtype — the distributed paths pass bf16 ek/halo rows
+    out_shape = [jax.ShapeDtypeStruct((R, H), jnp.float32)]
     if emit_gz:
         out_specs.append(pl.BlockSpec((TR * B, H), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
@@ -297,7 +299,7 @@ def bucket_src_bwd_fused(
 
     out_specs = [pl.BlockSpec((TR, H), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((R, H), ek_rows.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((R, H), jnp.float32)]
     if emit_gz:
         out_specs.append(pl.BlockSpec((TR * B, H), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
