@@ -124,11 +124,28 @@ def _batch_device_put(arrays: list) -> list:
             out[idxs[0]] = jax.device_put(flats[0])
             continue
         big = jax.device_put(np.concatenate(flats))
-        off = 0
-        for i, f in zip(idxs, flats):
-            out[i] = jax.lax.slice(big, (off,), (off + f.size,))
-            off += f.size
+        # one jitted split per (sizes, shape) instead of N eager slice
+        # ops: each eager slice costs a first-call compile over the
+        # tunnel (~0.3 s); one split executable costs one
+        parts = _split_fn(tuple(f.size for f in flats))(big)
+        for i, p in zip(idxs, parts):
+            out[i] = p
     return out
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _split_fn(sizes):
+    @jax.jit
+    def split(big):
+        outs, off = [], 0
+        for sz in sizes:
+            outs.append(jax.lax.slice(big, (off,), (off + sz,)))
+            off += sz
+        return tuple(outs)
+    return split
 
 
 # ======================================================================
@@ -1246,16 +1263,33 @@ def ell_sir_aggregate(fg: FastGraph, eq, ek, activation, agg_type,
 # Plan harmonization (for the distributed fast path)
 # ======================================================================
 
+def uniform_stage2(plans: list, rebuild_args: list) -> list:
+    """Make a plan list stage-2-UNIFORM: if any plan has a hub second
+    stage, rebuild the ones without (``rebuild_args[i]`` = the
+    ``build_reduce_plan`` positional args); if none do, leave all
+    stage-1-only. Harmonization requires uniformity — but forcing stage
+    2 onto hub-free graphs costs an extra row-sized take+stream per
+    finalize (measured ~1.6 ms/layer of the round-3 sharded@1 tax), so
+    it is no longer unconditional."""
+    if any(p.s2_gather is not None for p in plans):
+        plans = [p if p.s2_gather is not None
+                 else build_reduce_plan(*a, force_stage2=True)
+                 for p, a in zip(plans, rebuild_args)]
+    return plans
+
+
 def harmonize_reduce_plans(plans: list) -> list:
     """Re-lay a list of :class:`ReducePlan` into a COMMON static structure
     (same buckets1/buckets2/row counts) so their array leaves can be
     stacked and consumed by one shard_map program. All plans must share
-    ``num_keys`` and have a stage 2 (build with ``force_stage2=True``).
+    ``num_keys`` and be stage-2-uniform: either all carry the hub second
+    stage or none do (see :func:`uniform_stage2`).
 
     Padding rows/slots are zero-valid and never selected by key2row, so
     harmonized plans produce bit-identical reductions."""
-    assert all(p.s2_gather is not None for p in plans), \
-        "harmonize requires force_stage2 plans"
+    no_s2 = all(p.s2_gather is None for p in plans)
+    assert no_s2 or all(p.s2_gather is not None for p in plans), \
+        "mixed stage-2 plans; pass through uniform_stage2 first"
     num_keys = plans[0].num_keys
     assert all(p.num_keys == num_keys for p in plans)
 
@@ -1272,7 +1306,7 @@ def harmonize_reduce_plans(plans: list) -> list:
         return tuple((b, max(d.get(b, 0) for d in per)) for b in budgets)
 
     cb1 = common_buckets(lambda p: p.buckets1)
-    cb2 = common_buckets(lambda p: p.buckets2)
+    cb2 = None if no_s2 else common_buckets(lambda p: p.buckets2)
 
     def relayout_stage(plan_buckets, cbuckets, arrays, pad_values):
         """arrays: per-slot np arrays laid out by the plan's (possibly
@@ -1320,19 +1354,27 @@ def harmonize_reduce_plans(plans: list) -> list:
         rk2 = np.zeros(n_rows1, rk.dtype)
         rk2[rowmap1[:len(rk)]] = rk
 
-        g2 = rowmap1[np.asarray(p.s2_gather)]
-        v2 = np.asarray(p.s2_valid)
-        (g2n, v2n), rowmap2, n_rows2 = relayout_stage(
-            p.buckets2, cb2, [g2, v2], [0, 0.0])
-        k2r = rowmap2[np.asarray(p.key2row)]
+        if no_s2:
+            # key2row points straight at stage-1 rows (sentinel = the
+            # appended fill row, mapped by rowmap1's last entry)
+            k2r = rowmap1[np.asarray(p.key2row)]
+            g2j = v2j = None
+        else:
+            g2 = rowmap1[np.asarray(p.s2_gather)]
+            v2 = np.asarray(p.s2_valid)
+            (g2n, v2n), rowmap2, n_rows2 = relayout_stage(
+                p.buckets2, cb2, [g2, v2], [0, 0.0])
+            k2r = rowmap2[np.asarray(p.key2row)]
+            g2j = jnp.asarray(g2n, jnp.int32)
+            v2j = jnp.asarray(v2n)
 
         out.append(ReducePlan(
             slot_edge=jnp.asarray(se2, jnp.int32),
             slot_valid=jnp.asarray(sv2),
             slot_key=jnp.asarray(sk2, jnp.int32),
             row_key=jnp.asarray(rk2, jnp.int32),
-            s2_gather=jnp.asarray(g2n, jnp.int32),
-            s2_valid=jnp.asarray(v2n),
+            s2_gather=g2j,
+            s2_valid=v2j,
             key2row=jnp.asarray(k2r, jnp.int32),
             buckets1=cb1,
             buckets2=cb2,

@@ -91,19 +91,22 @@ def build_sharded_fast_graph(
     # dst in [s*n_local, (s+1)*n_local)
     bounds = np.searchsorted(dst, np.arange(n_shards + 1) * n_local)
 
-    dplans, splans = [], []
+    from ..ops.ell import uniform_stage2
+
+    dplans, splans, dargs, sargs = [], [], [], []
     for s in range(n_shards):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
         d_l = dst[lo:hi] - s * n_local
         s_g = src[lo:hi]
         v_l = valid[lo:hi]
-        dplans.append(build_reduce_plan(d_l, v_l, n_local, max_budget,
-                                        force_stage2=True))
-        splans.append(build_reduce_plan(s_g, v_l, graph.n_pad, max_budget,
-                                        force_stage2=True))
+        dplans.append(build_reduce_plan(d_l, v_l, n_local, max_budget))
+        splans.append(build_reduce_plan(s_g, v_l, graph.n_pad,
+                                        max_budget))
+        dargs.append((d_l, v_l, n_local, max_budget))
+        sargs.append((s_g, v_l, graph.n_pad, max_budget))
 
-    dplans = harmonize_reduce_plans(dplans)
-    splans = harmonize_reduce_plans(splans)
+    dplans = harmonize_reduce_plans(uniform_stage2(dplans, dargs))
+    splans = harmonize_reduce_plans(uniform_stage2(splans, sargs))
 
     # re-derive per-slot arrays in the harmonized layouts
     def regather(plans_h, per_edge):
@@ -334,14 +337,21 @@ def make_sharded_sir_aggregate_pallas(
         g_ek_full = splan.finalize_rows_sum(cat(rows))
         return scatter_back(g_ek_full)
 
-    fwd2_sm = jax.jit(shard_map(
-        local_fwd2, mesh=mesh,
-        in_specs=(node_spec, node_spec, plan_spec),
-        out_specs=(node_spec, node_spec), check_vma=False))
-    bwd_sm = jax.jit(shard_map(
-        local_bwd, mesh=mesh,
-        in_specs=(node_spec, node_spec, node_spec, plan_spec),
-        out_specs=node_spec, check_vma=False))
+    if unit:
+        # a 1-device mesh axis needs no manual-sharding region at all:
+        # run the local program directly (shard_map's region boundary
+        # costs real time — materialization/fusion barriers around the
+        # region; tools/r4bench.py section B)
+        fwd2_sm, bwd_sm = jax.jit(local_fwd2), jax.jit(local_bwd)
+    else:
+        fwd2_sm = jax.jit(shard_map(
+            local_fwd2, mesh=mesh,
+            in_specs=(node_spec, node_spec, plan_spec),
+            out_specs=(node_spec, node_spec), check_vma=False))
+        bwd_sm = jax.jit(shard_map(
+            local_bwd, mesh=mesh,
+            in_specs=(node_spec, node_spec, node_spec, plan_spec),
+            out_specs=node_spec, check_vma=False))
 
     @jax.custom_vjp
     def f(eq, ek):
@@ -358,4 +368,21 @@ def make_sharded_sir_aggregate_pallas(
         return g_eq, g_ek
 
     f.defvjp(f_fwd, f_bwd)
-    return f
+
+    def padded(eq, ek):
+        """Lane-align the feature dim to 128 with zero columns — same
+        wrapper as the single-device fast path (ops/ell.py ``padded``):
+        the HBM tiled layout pads the minor dim anyway, unpadded
+        96-wide streams run measurably slower, and zero columns are
+        exact for elementwise sigma (their outputs/cotangents never mix
+        with real columns; the result is sliced back)."""
+        from ..ops.ell import _round_up
+
+        h = eq.shape[-1]
+        hp = _round_up(h, 128)
+        if hp == h:
+            return f(eq, ek)
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, hp - h)))
+        return f(pad(eq), pad(ek))[:, :h]
+
+    return padded

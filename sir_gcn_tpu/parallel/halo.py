@@ -209,7 +209,10 @@ def build_halo_fast_graph(
     h_max = _pad8(max((u.size for u in uniq.values()), default=1))
 
     # ---- pass 2: per-shard plans + slot arrays ---------------------------
+    from ..ops.ell import uniform_stage2
+
     dplans_i, dplans_b, splans_i, hplans, rplans = [], [], [], [], []
+    args_i, args_b, args_s, args_h, args_r = [], [], [], [], []
     ssl, ssh, sc_i, sc_b, send_all = [], [], [], [], []
     halo_keys = []
     for r in range(S):
@@ -226,18 +229,14 @@ def build_halo_fast_graph(
             halo_key[np.nonzero(sel)[0]] = s * h_max + pos
         halo_keys.append(halo_key)
 
-        dpi = build_reduce_plan(dst_l, interior, n_local, max_budget,
-                                force_stage2=True)
-        dpb = build_reduce_plan(dst_l, boundary, n_local, max_budget,
-                                force_stage2=True)
-        spi = build_reduce_plan(src_g - r * n_local, interior, n_local,
-                                max_budget, force_stage2=True)
-        hp = build_reduce_plan(halo_key, boundary, S * h_max, max_budget,
-                               force_stage2=True)
-        dplans_i.append(dpi)
-        dplans_b.append(dpb)
-        splans_i.append(spi)
-        hplans.append(hp)
+        def plan(lst, alst, keys, valid_, nk):
+            lst.append(build_reduce_plan(keys, valid_, nk, max_budget))
+            alst.append((keys, valid_, nk, max_budget))
+
+        plan(dplans_i, args_i, dst_l, interior, n_local)
+        plan(dplans_b, args_b, dst_l, boundary, n_local)
+        plan(splans_i, args_s, src_g - r * n_local, interior, n_local)
+        plan(hplans, args_h, halo_key, boundary, S * h_max)
 
         # send schedule: block d = rows this shard sends to receiver d
         sidx = np.zeros(S * h_max, np.int64)
@@ -249,15 +248,13 @@ def build_halo_fast_graph(
             sidx[d * h_max: d * h_max + u.size] = u - r * n_local
             skey[d * h_max: d * h_max + u.size] = u - r * n_local
         send_all.append(sidx)
-        rplans.append(build_reduce_plan(
-            np.maximum(skey, 0), skey >= 0, n_local, max_budget,
-            force_stage2=True))
+        plan(rplans, args_r, np.maximum(skey, 0), skey >= 0, n_local)
 
-    dplans_i = harmonize_reduce_plans(dplans_i)
-    dplans_b = harmonize_reduce_plans(dplans_b)
-    splans_i = harmonize_reduce_plans(splans_i)
-    hplans = harmonize_reduce_plans(hplans)
-    rplans = harmonize_reduce_plans(rplans)
+    dplans_i = harmonize_reduce_plans(uniform_stage2(dplans_i, args_i))
+    dplans_b = harmonize_reduce_plans(uniform_stage2(dplans_b, args_b))
+    splans_i = harmonize_reduce_plans(uniform_stage2(splans_i, args_s))
+    hplans = harmonize_reduce_plans(uniform_stage2(hplans, args_h))
+    rplans = harmonize_reduce_plans(uniform_stage2(rplans, args_r))
 
     sfd_i, sfd_b = [], []
     sdn_i, ssc_i, hdn, hsc = [], [], [], []
@@ -882,14 +879,20 @@ def make_halo_sir_aggregate_pallas(
         return g_ek + rp.reduce_slots_sum(
             rp.gather_edges(ret) * rp.slot_valid[:, None])
 
-    fwd2_sm = jax.jit(shard_map(
-        local_fwd2, mesh=mesh,
-        in_specs=(node_spec, node_spec, node_spec, plan_spec),
-        out_specs=(node_spec, node_spec), check_vma=False))
-    bwd_sm = jax.jit(shard_map(
-        local_bwd, mesh=mesh,
-        in_specs=(node_spec, node_spec, node_spec, node_spec, plan_spec),
-        out_specs=node_spec, check_vma=False))
+    if unit:
+        # 1-device mesh axis: no manual-sharding region needed (see
+        # ell_distributed.make_sharded_sir_aggregate_pallas)
+        fwd2_sm, bwd_sm = jax.jit(local_fwd2), jax.jit(local_bwd)
+    else:
+        fwd2_sm = jax.jit(shard_map(
+            local_fwd2, mesh=mesh,
+            in_specs=(node_spec, node_spec, node_spec, plan_spec),
+            out_specs=(node_spec, node_spec), check_vma=False))
+        bwd_sm = jax.jit(shard_map(
+            local_bwd, mesh=mesh,
+            in_specs=(node_spec, node_spec, node_spec, node_spec,
+                      plan_spec),
+            out_specs=node_spec, check_vma=False))
 
     if dynamic_scale:
         @jax.custom_vjp
@@ -922,7 +925,23 @@ def make_halo_sir_aggregate_pallas(
             return g * sbar, bwd_sm(g, eq, ek, dummy, hfg_sm)
 
     f.defvjp(f_fwd, f_bwd)
-    return f
+
+    def padded(eq, ek, *rest):
+        """Lane-align the feature dim to 128 with zero columns — same
+        wrapper as the single-device fast path (ops/ell.py ``padded``):
+        unpadded 96-wide streams run measurably slower and zero columns
+        are exact for elementwise sigma. ``rest`` carries the optional
+        edge_scale ([E_pad], not feature-shaped — passed through)."""
+        from ..ops.ell import _round_up
+
+        h = eq.shape[-1]
+        hp = _round_up(h, 128)
+        if hp == h:
+            return f(eq, ek, *rest)
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, hp - h)))
+        return f(pad(eq), pad(ek), *rest)[:, :h]
+
+    return padded
 
 
 def make_halo_sir_aggregate_max(

@@ -53,6 +53,8 @@ def main():
                     help="run the DictionaryLookup n=50 10-run protocol "
                          "at the end (hours)")
     ap.add_argument("--skip-abcd", action="store_true")
+    ap.add_argument("--sections", type=str, default="BCD",
+                    help="which of B/C/D to run (A always runs)")
     cli = ap.parse_args()
 
     import jax
@@ -172,6 +174,67 @@ def main():
                 f_p)
             log(f"  -> per-chip efficiency vs single-device: "
                 f"{t_single / t * 100:.1f}%")
+        # shard_map-free twin of the sharded local program (same plans,
+        # same kernels, no manual-sharding region): isolates the
+        # shard_map boundary cost from the plan/kernel cost
+        from sir_gcn_tpu.ops.ell import _bucket_offsets
+        from sir_gcn_tpu.ops.pallas import (
+            bucket_bcast_act_reduce2,
+            bucket_src_bwd,
+        )
+        from sir_gcn_tpu.parallel.ell_distributed import _unstack_plan
+
+        dplan = _unstack_plan(sfg.dst_plan)
+        splan = _unstack_plan(sfg.src_plan)
+        offs_d = _bucket_offsets(dplan.buckets1)
+        offs_s = _bucket_offsets(splan.buckets1)
+        cast = lambda x: x.astype(jnp.bfloat16)
+        cat = lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+        ssn, ssc = sfg.slot_srcnode[0], sfg.slot_scale[0]
+        sdn, sds = sfg.src_slot_dstnode[0], sfg.src_slot_scale[0]
+
+        @jax.custom_vjp
+        def f_ns(eq, ek):
+            ekg = jnp.take(cast(ek), ssn, axis=0)
+            eq_rows = jnp.take(eq, dplan.row_key, axis=0)
+            rows = []
+            for b, nr, so, ro in offs_d:
+                r, _ = bucket_bcast_act_reduce2(
+                    ekg[so:so + b * nr], eq_rows[ro:ro + nr],
+                    ssc[so:so + b * nr].reshape(nr, b), b, jnp.tanh)
+                rows.append(r)
+            return dplan.finalize_rows_sum(cat(rows))
+
+        def f_ns_fwd(eq, ek):
+            ekg = jnp.take(cast(ek), ssn, axis=0)
+            eq_rows = jnp.take(eq, dplan.row_key, axis=0)
+            rows, srows = [], []
+            for b, nr, so, ro in offs_d:
+                r, sr = bucket_bcast_act_reduce2(
+                    ekg[so:so + b * nr], eq_rows[ro:ro + nr],
+                    ssc[so:so + b * nr].reshape(nr, b), b, jnp.tanh)
+                rows.append(r)
+                srows.append(sr)
+            return (dplan.finalize_rows_sum(cat(rows)),
+                    (eq, ek, dplan.finalize_rows_sum(cat(srows))))
+
+        def f_ns_bwd(res, gr):
+            eq, ek, sbar = res
+            eqg = jnp.take(cast(eq), sdn, axis=0)
+            gg = jnp.take(cast(gr), sdn, axis=0)
+            ek_rows = jnp.take(cast(ek), splan.row_key, axis=0)
+            rows = []
+            for b, nr, so, ro in offs_s:
+                r, _ = bucket_src_bwd(
+                    eqg[so:so + b * nr], ek_rows[ro:ro + nr],
+                    sds[so:so + b * nr].reshape(nr, b),
+                    gg[so:so + b * nr], b, jnp.tanh)
+                rows.append(r)
+            return gr * sbar, splan.finalize_rows_sum(cat(rows))
+
+        f_ns.defvjp(f_ns_fwd, f_ns_bwd)
+        timed_grad("sharded plans, NO shard_map (same kernels)", f_ns)
+
         t0 = time.time()
         hfg = build_halo_fast_graph(g, 1, agg_type="sym")
         log(f"halo fast graph @1: {time.time() - t0:.1f}s; stages: "
@@ -289,9 +352,12 @@ def main():
         log(f"fwd-only (no grad/opt)      {f:8.2f} ms")
 
     if not cli.skip_abcd:
-        sec_b()
-        sec_c()
-        sec_d()
+        if "B" in cli.sections:
+            sec_b()
+        if "C" in cli.sections:
+            sec_c()
+        if "D" in cli.sections:
+            sec_d()
 
     if cli.n50:
         log("==== E: DictionaryLookup n=50, 10-run protocol (TPU) ====")
