@@ -417,8 +417,8 @@ def build_reduce_plan(keys: np.ndarray, valid: np.ndarray, num_keys: int,
             # so every key collapses to exactly one row
             s2_gather, s2_valid, _, buckets2, row_keys2 = _bucketize(
                 row_keys[rids], rids, num_keys, max_budget=1 << 30)
-            assert (np.bincount(row_keys2, minlength=num_keys)
-                    .max(initial=0) <= 1)
+            assert (np.bincount(row_keys2[row_keys2 < num_keys],
+                                minlength=num_keys).max(initial=0) <= 1)
         final_keys, n_final = row_keys2, len(row_keys2)
         s2_gather_np, s2_valid_np = s2_gather, s2_valid
         buckets2 = tuple(buckets2)

@@ -301,7 +301,24 @@ def make_sharded_sir_aggregate_pallas(
     def cat(xs):
         return jnp.concatenate(xs) if len(xs) > 1 else xs[0]
 
+    def lane_pad(x):
+        """Pad the feature dim to 128 INSIDE the (possibly shard_map'd)
+        program — exact for elementwise sigma (the single-device
+        ``padded()`` argument), and placed here so XLA's pad-sinking /
+        fusion rewrites see the pads next to the gathers they feed
+        (an outer pad across a region boundary compiled to a 128-wide
+        [S, H] gather + 5x the fusion count — tools/hlo_diff.py)."""
+        from ..ops.ell import _round_up
+
+        h = x.shape[-1]
+        hp = _round_up(h, 128)
+        if hp == h:
+            return x
+        return jnp.pad(x, ((0, 0), (0, hp - h)))
+
     def local_fwd2(eq_l, ek_l, sfg_l):
+        h = eq_l.shape[-1]
+        eq_l, ek_l = lane_pad(eq_l), lane_pad(ek_l)
         dplan = _unstack_plan(sfg_l.dst_plan)
         ek_full = gather_full(ek_l)
         ekg = jnp.take(ek_full, sfg_l.slot_srcnode[0], axis=0)
@@ -315,10 +332,12 @@ def make_sharded_sir_aggregate_pallas(
                 interpret=interpret)
             rows.append(r)
             srows.append(sr)
-        return (dplan.finalize_rows_sum(cat(rows)),
-                dplan.finalize_rows_sum(cat(srows)))
+        return (dplan.finalize_rows_sum(cat(rows))[:, :h],
+                dplan.finalize_rows_sum(cat(srows))[:, :h])
 
     def local_bwd(g_l, eq_l, ek_l, sfg_l):
+        h = eq_l.shape[-1]
+        g_l, eq_l, ek_l = lane_pad(g_l), lane_pad(eq_l), lane_pad(ek_l)
         splan = _unstack_plan(sfg_l.src_plan)
         eqg = jnp.take(cast(eq_l), sfg_l.src_slot_dstnode[0], axis=0)
         gg = jnp.take(cast(g_l), sfg_l.src_slot_dstnode[0], axis=0)
@@ -334,24 +353,25 @@ def make_sharded_sir_aggregate_pallas(
                 s[so:so + b * nr].reshape(nr, b),
                 gg[so:so + b * nr], b, activation, interpret=interpret)
             rows.append(r)
-        g_ek_full = splan.finalize_rows_sum(cat(rows))
+        g_ek_full = splan.finalize_rows_sum(cat(rows))[:, :h]
         return scatter_back(g_ek_full)
 
+    # No jax.jit wrapper in either branch: a nested pjit is an
+    # optimization boundary (blocked the pad-sink rewrite and shattered
+    # fusions — tools/hlo_diff.py); call sites trace these under the
+    # caller's jit, where they inline.
     if unit:
-        # a 1-device mesh axis needs no manual-sharding region at all:
-        # run the local program directly (shard_map's region boundary
-        # costs real time — materialization/fusion barriers around the
-        # region; tools/r4bench.py section B)
-        fwd2_sm, bwd_sm = jax.jit(local_fwd2), jax.jit(local_bwd)
+        # a 1-device mesh axis needs no manual-sharding region at all
+        fwd2_sm, bwd_sm = local_fwd2, local_bwd
     else:
-        fwd2_sm = jax.jit(shard_map(
+        fwd2_sm = shard_map(
             local_fwd2, mesh=mesh,
             in_specs=(node_spec, node_spec, plan_spec),
-            out_specs=(node_spec, node_spec), check_vma=False))
-        bwd_sm = jax.jit(shard_map(
+            out_specs=(node_spec, node_spec), check_vma=False)
+        bwd_sm = shard_map(
             local_bwd, mesh=mesh,
             in_specs=(node_spec, node_spec, node_spec, plan_spec),
-            out_specs=node_spec, check_vma=False))
+            out_specs=node_spec, check_vma=False)
 
     @jax.custom_vjp
     def f(eq, ek):
@@ -368,21 +388,4 @@ def make_sharded_sir_aggregate_pallas(
         return g_eq, g_ek
 
     f.defvjp(f_fwd, f_bwd)
-
-    def padded(eq, ek):
-        """Lane-align the feature dim to 128 with zero columns — same
-        wrapper as the single-device fast path (ops/ell.py ``padded``):
-        the HBM tiled layout pads the minor dim anyway, unpadded
-        96-wide streams run measurably slower, and zero columns are
-        exact for elementwise sigma (their outputs/cotangents never mix
-        with real columns; the result is sliced back)."""
-        from ..ops.ell import _round_up
-
-        h = eq.shape[-1]
-        hp = _round_up(h, 128)
-        if hp == h:
-            return f(eq, ek)
-        pad = lambda x: jnp.pad(x, ((0, 0), (0, hp - h)))
-        return f(pad(eq), pad(ek))[:, :h]
-
-    return padded
+    return f

@@ -827,11 +827,28 @@ def make_halo_sir_aggregate_pallas(
         return plan.finalize_rows_sum(cat(rows)), \
             plan.finalize_rows_sum(cat(srows))
 
+    def lane_pad(x):
+        """Pad the feature dim to 128 INSIDE the region — exact for
+        elementwise sigma; placed next to the gathers it feeds so XLA's
+        pad-sink/fusion rewrites apply (tools/hlo_diff.py). The
+        exchange itself stays at the caller's width: only the (small)
+        halo table is padded after the collective."""
+        from ..ops.ell import _round_up
+
+        h = x.shape[-1]
+        hp = _round_up(h, 128)
+        if hp == h:
+            return x
+        return jnp.pad(x, ((0, 0), (0, hp - h)))
+
     def local_fwd2(eq_l, ek_l, scale_l, hfg_l):
+        h = eq_l.shape[-1]
         dpi = _unstack_plan(hfg_l.dst_plan_i)
         dpb = _unstack_plan(hfg_l.dst_plan_b)
         s_i, s_b = fwd_scales(scale_l, hfg_l, dpi, dpb)
-        halo = _exchange(ek_l, hfg_l, axis, dtype=edge_dtype, unit=unit)
+        halo = lane_pad(_exchange(ek_l, hfg_l, axis, dtype=edge_dtype,
+                                  unit=unit))
+        eq_l, ek_l = lane_pad(eq_l), lane_pad(ek_l)
         # interior stage has no dependency on the collective -> overlaps
         ekg_i = jnp.take(cast(ek_l), hfg_l.slot_src_local[0], axis=0)
         out_i, sb_i = stage2(ekg_i, jnp.take(eq_l, dpi.row_key, axis=0),
@@ -839,7 +856,7 @@ def make_halo_sir_aggregate_pallas(
         ekg_b = jnp.take(halo, hfg_l.slot_src_halo[0], axis=0)
         out_b, sb_b = stage2(ekg_b, jnp.take(eq_l, dpb.row_key, axis=0),
                              s_b, offs_db, dpb)
-        return out_i + out_b, sb_i + sb_b
+        return (out_i + out_b)[:, :h], (sb_i + sb_b)[:, :h]
 
     def src_stage(eqg, rows_tbl, s, gg, offs, plan):
         rows = []
@@ -852,6 +869,7 @@ def make_halo_sir_aggregate_pallas(
         return plan.finalize_rows_sum(cat(rows))
 
     def local_bwd(g_l, eq_l, ek_l, scale_l, hfg_l):
+        h = eq_l.shape[-1]
         spi = _unstack_plan(hfg_l.src_plan_i)
         hp = _unstack_plan(hfg_l.halo_plan)
         rp = _unstack_plan(hfg_l.ret_plan)
@@ -861,38 +879,43 @@ def make_halo_sir_aggregate_pallas(
         else:
             s_si = hfg_l.src_scale_i[0].astype(jnp.float32)
             s_hp = hfg_l.halo_scale[0].astype(jnp.float32)
-        halo = _exchange(ek_l, hfg_l, axis, dtype=edge_dtype, unit=unit)
+        halo = lane_pad(_exchange(ek_l, hfg_l, axis, dtype=edge_dtype,
+                                  unit=unit))
+        g_l, eq_l, ek_l = lane_pad(g_l), lane_pad(eq_l), lane_pad(ek_l)
 
         # interior: z = eq[dst_e] + ek_l[src rows], reduce by local src
         eqg = jnp.take(cast(eq_l), hfg_l.src_dstnode_i[0], axis=0)
         gg = jnp.take(cast(g_l), hfg_l.src_dstnode_i[0], axis=0)
         g_ek = src_stage(eqg, jnp.take(ek_l, spi.row_key, axis=0),
-                         s_si, gg, offs_si, spi)
+                         s_si, gg, offs_si, spi)[:, :h]
 
         # boundary: z = eq[dst_e] + halo[key rows], reduce into the halo
-        # table, return cotangent blocks to their senders
+        # table, return cotangent blocks to their senders (at the
+        # caller's width — no padded columns over the wire)
         eqg_b = jnp.take(cast(eq_l), hfg_l.halo_dstnode[0], axis=0)
         gg_b = jnp.take(cast(g_l), hfg_l.halo_dstnode[0], axis=0)
         g_halo = src_stage(eqg_b, jnp.take(halo, hp.row_key, axis=0),
-                           s_hp, gg_b, offs_hp, hp)
+                           s_hp, gg_b, offs_hp, hp)[:, :h]
         ret = _return_exchange(g_halo, axis, unit)
         return g_ek + rp.reduce_slots_sum(
             rp.gather_edges(ret) * rp.slot_valid[:, None])
 
+    # No jax.jit wrapper (a nested pjit is an optimization boundary —
+    # tools/hlo_diff.py); call sites trace these under the caller's jit.
     if unit:
         # 1-device mesh axis: no manual-sharding region needed (see
         # ell_distributed.make_sharded_sir_aggregate_pallas)
-        fwd2_sm, bwd_sm = jax.jit(local_fwd2), jax.jit(local_bwd)
+        fwd2_sm, bwd_sm = local_fwd2, local_bwd
     else:
-        fwd2_sm = jax.jit(shard_map(
+        fwd2_sm = shard_map(
             local_fwd2, mesh=mesh,
             in_specs=(node_spec, node_spec, node_spec, plan_spec),
-            out_specs=(node_spec, node_spec), check_vma=False))
-        bwd_sm = jax.jit(shard_map(
+            out_specs=(node_spec, node_spec), check_vma=False)
+        bwd_sm = shard_map(
             local_bwd, mesh=mesh,
             in_specs=(node_spec, node_spec, node_spec, node_spec,
                       plan_spec),
-            out_specs=node_spec, check_vma=False))
+            out_specs=node_spec, check_vma=False)
 
     if dynamic_scale:
         @jax.custom_vjp
@@ -925,23 +948,7 @@ def make_halo_sir_aggregate_pallas(
             return g * sbar, bwd_sm(g, eq, ek, dummy, hfg_sm)
 
     f.defvjp(f_fwd, f_bwd)
-
-    def padded(eq, ek, *rest):
-        """Lane-align the feature dim to 128 with zero columns — same
-        wrapper as the single-device fast path (ops/ell.py ``padded``):
-        unpadded 96-wide streams run measurably slower and zero columns
-        are exact for elementwise sigma. ``rest`` carries the optional
-        edge_scale ([E_pad], not feature-shaped — passed through)."""
-        from ..ops.ell import _round_up
-
-        h = eq.shape[-1]
-        hp = _round_up(h, 128)
-        if hp == h:
-            return f(eq, ek, *rest)
-        pad = lambda x: jnp.pad(x, ((0, 0), (0, hp - h)))
-        return f(pad(eq), pad(ek), *rest)[:, :h]
-
-    return padded
+    return f
 
 
 def make_halo_sir_aggregate_max(

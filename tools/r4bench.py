@@ -235,6 +235,105 @@ def main():
         f_ns.defvjp(f_ns_fwd, f_ns_bwd)
         timed_grad("sharded plans, NO shard_map (same kernels)", f_ns)
 
+        # hybrid: the SAME twin program but fed the single-device
+        # FastGraph's plan arrays — if this hits single-device speed the
+        # residual is in the harmonized plan DATA (layout/ordering); if
+        # not, it is in the twin program shape itself
+        def make_twin(dplan_, splan_, ssn_, ssc_, sdn_, sds_):
+            offs_d_ = _bucket_offsets(dplan_.buckets1)
+            offs_s_ = _bucket_offsets(splan_.buckets1)
+
+            @jax.custom_vjp
+            def tw(eq, ek):
+                return tw_fwd(eq, ek)[0]
+
+            def tw_fwd(eq, ek):
+                ekg = jnp.take(cast(ek), ssn_, axis=0)
+                eq_rows = jnp.take(eq, dplan_.row_key, axis=0)
+                rows, srows = [], []
+                for b, nr, so, ro in offs_d_:
+                    r, sr = bucket_bcast_act_reduce2(
+                        ekg[so:so + b * nr], eq_rows[ro:ro + nr],
+                        ssc_[so:so + b * nr].reshape(nr, b), b, jnp.tanh)
+                    rows.append(r)
+                    srows.append(sr)
+                return (dplan_.finalize_rows_sum(cat(rows)),
+                        (eq, ek, dplan_.finalize_rows_sum(cat(srows))))
+
+            def tw_bwd(res, gr):
+                eq, ek, sbar = res
+                eqg = jnp.take(cast(eq), sdn_, axis=0)
+                gg = jnp.take(cast(gr), sdn_, axis=0)
+                ek_rows = jnp.take(cast(ek), splan_.row_key, axis=0)
+                rows = []
+                for b, nr, so, ro in offs_s_:
+                    r, _ = bucket_src_bwd(
+                        eqg[so:so + b * nr], ek_rows[ro:ro + nr],
+                        sds_[so:so + b * nr].reshape(nr, b),
+                        gg[so:so + b * nr], b, jnp.tanh)
+                    rows.append(r)
+                return gr * sbar, splan_.finalize_rows_sum(cat(rows))
+
+            tw.defvjp(tw_fwd, tw_bwd)
+            return tw
+
+        tw_fg = make_twin(fg.dst_plan, fg.src_plan,
+                          fg.dst_slot_srcnode,
+                          fg.dst_slot_scales["sym"],
+                          fg.src_slot_dstnode,
+                          fg.src_slot_scales["sym"])
+        timed_grad("twin program, SINGLE-DEVICE plan arrays", tw_fg)
+
+        # exact structural replica of the single-device path: OUTER
+        # pad-to-128 wrapper + f32 ek row table, sharded-builder data
+        def make_twin2(dplan_, splan_, ssn_, ssc_, sdn_, sds_):
+            offs_d_ = _bucket_offsets(dplan_.buckets1)
+            offs_s_ = _bucket_offsets(splan_.buckets1)
+
+            @jax.custom_vjp
+            def tw(eq, ek):
+                return tw_fwd(eq, ek)[0]
+
+            def tw_fwd(eq, ek):
+                ekg = jnp.take(cast(ek), ssn_, axis=0)
+                eq_rows = jnp.take(eq, dplan_.row_key, axis=0)
+                rows, srows = [], []
+                for b, nr, so, ro in offs_d_:
+                    r, sr = bucket_bcast_act_reduce2(
+                        ekg[so:so + b * nr], eq_rows[ro:ro + nr],
+                        ssc_[so:so + b * nr].reshape(nr, b), b, jnp.tanh)
+                    rows.append(r)
+                    srows.append(sr)
+                return (dplan_.finalize_rows_sum(cat(rows)),
+                        (eq, ek, dplan_.finalize_rows_sum(cat(srows))))
+
+            def tw_bwd(res, gr):
+                eq, ek, sbar = res
+                eqg = jnp.take(cast(eq), sdn_, axis=0)
+                gg = jnp.take(cast(gr), sdn_, axis=0)
+                ek_rows = jnp.take(ek, splan_.row_key, axis=0)  # f32
+                rows = []
+                for b, nr, so, ro in offs_s_:
+                    r, _ = bucket_src_bwd(
+                        eqg[so:so + b * nr], ek_rows[ro:ro + nr],
+                        sds_[so:so + b * nr].reshape(nr, b),
+                        gg[so:so + b * nr], b, jnp.tanh)
+                    rows.append(r)
+                return gr * sbar, splan_.finalize_rows_sum(cat(rows))
+
+            tw.defvjp(tw_fwd, tw_bwd)
+
+            def padded_tw(eq, ek):
+                pad = lambda x: jnp.pad(x, ((0, 0), (0, 128 - 96)))
+                return tw(pad(eq), pad(ek))[:, :96]
+
+            return padded_tw
+
+        tw2 = make_twin2(_unstack_plan(sfg.dst_plan),
+                         _unstack_plan(sfg.src_plan),
+                         ssn, ssc, sdn, sds)
+        timed_grad("twin EXACT single-structure (outer pad)", tw2)
+
         t0 = time.time()
         hfg = build_halo_fast_graph(g, 1, agg_type="sym")
         log(f"halo fast graph @1: {time.time() - t0:.1f}s; stages: "
