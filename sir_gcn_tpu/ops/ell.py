@@ -720,6 +720,41 @@ def _bucket_offsets(buckets):
     return offs
 
 
+_EDGE_COT_CHUNKS = 1
+
+
+def set_edge_cotangent_chunks(n: int) -> None:
+    """Split the backward's [E_pad, H] edge-cotangent reconstruction
+    (``take(g_z, edge2slot) * mask``) into ``n`` sequential lax.map
+    chunks. With n=1 (default) the take is emitted as one op — which at
+    full-graph scale (>~2M padded edges) makes XLA's TPU compile time
+    blow up (measured >25 min at 2.5M edges, ROADMAP.md); chunking
+    bounds the per-op size so the compiler's scheduling stays linear.
+    Runtime cost of chunking is ~0 (same total gather rows)."""
+    global _EDGE_COT_CHUNKS
+    assert n >= 1
+    _EDGE_COT_CHUNKS = int(n)
+
+
+def _edge_cotangent(g_z, edge2slot, edge_mask, dtype=jnp.float32):
+    """[E_pad, H] per-edge cotangent in sorted-edge order from the
+    per-slot cotangent table: ``take(g_z, edge2slot) * edge_mask``,
+    optionally chunked (see :func:`set_edge_cotangent_chunks`)."""
+    maskf = edge_mask.astype(dtype)
+    chunks = _EDGE_COT_CHUNKS
+    e_pad = edge2slot.shape[0]
+    if chunks <= 1 or e_pad % chunks != 0:
+        return (jnp.take(g_z, edge2slot, axis=0).astype(dtype)
+                * maskf[:, None])
+    idx = edge2slot.reshape(chunks, e_pad // chunks)
+    msk = maskf.reshape(chunks, e_pad // chunks)
+    rows = jax.lax.map(
+        lambda im: jnp.take(g_z, im[0], axis=0).astype(dtype)
+        * im[1][:, None],
+        (idx, msk))
+    return rows.reshape(e_pad, -1)
+
+
 def make_ell_sir_aggregate_pallas(
     fg: FastGraph,
     activation: Callable[[jax.Array], jax.Array],
@@ -874,9 +909,7 @@ def make_ell_sir_aggregate_pallas(
         g_ek = splan.finalize_rows_sum(cat(rows))
         if need_gz:
             g_z = cat(gzs)
-            g_e = (jnp.take(g_z, fg.edge2src_slot, axis=0)
-                   .astype(jnp.float32)
-                   * fg.edge_mask[:, None].astype(jnp.float32))
+            g_e = _edge_cotangent(g_z, fg.edge2src_slot, fg.edge_mask)
         else:
             g_e = jnp.zeros((0,), jnp.float32)
         return g_ek, g_e
@@ -1027,9 +1060,7 @@ def make_ell_sir_aggregate(
         g_ek = fg.src_plan.reduce_slots_sum(g_z_src)
         # d e: per-edge cotangent in sorted-edge order
         if with_edge:
-            g_e = (jnp.take(g_z, fg.edge2dst_slot, axis=0)
-                   .astype(jnp.float32)
-                   * fg.edge_mask[:, None].astype(jnp.float32))
+            g_e = _edge_cotangent(g_z, fg.edge2dst_slot, fg.edge_mask)
         else:
             g_e = jnp.zeros((0,), jnp.float32)
         return (g_eq, g_ek, g_e,
@@ -1112,8 +1143,8 @@ def make_ell_sir_aggregate_max(
                    * splan.slot_valid[:, None])
         g_ek = splan.reduce_slots_sum(g_z_src)
         if with_edge:
-            g_e = (jnp.take(g_z, fg.edge2dst_slot, axis=0)
-                   * fg.edge_mask[:, None].astype(g_z.dtype))
+            g_e = _edge_cotangent(g_z, fg.edge2dst_slot, fg.edge_mask,
+                                  dtype=g_z.dtype)
         else:
             g_e = jnp.zeros((0,), g_z.dtype)
         return (g_eq, g_ek, g_e, jnp.zeros((fg.e_pad,), g_z.dtype),

@@ -317,3 +317,34 @@ def test_plan_inflation_and_correctness_powerlaw(rng):
         exp = sir_aggregate(g, eq, ek, jnp.tanh, agg)
         np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_chunked_edge_cotangent_identical(rng):
+    """set_edge_cotangent_chunks must not change any gradient: the
+    chunked lax.map reconstruction is numerically identical to the
+    single-take form (it exists to bound XLA compile time at full-graph
+    scale — ROADMAP round 4)."""
+    import sir_gcn_tpu.ops.ell as ell_mod
+
+    g, *_ = make_graph(rng)
+    fg = build_fast_graph(g, max_budget=16)
+    eq = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(g.e_pad, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(g.n_pad, 8)), jnp.float32)
+
+    def loss(graph):
+        def inner(eq, ek, e):
+            out = sir_aggregate(graph, eq, ek, jnp.tanh, "sum", e=e)
+            return jnp.sum(out * w)
+        return inner
+
+    base = jax.grad(loss(fg), argnums=(0, 1, 2))(eq, ek, e)
+    try:
+        ell_mod.set_edge_cotangent_chunks(4)
+        assert g.e_pad % 4 == 0  # chunking actually engages
+        chunked = jax.grad(loss(fg), argnums=(0, 1, 2))(eq, ek, e)
+    finally:
+        ell_mod.set_edge_cotangent_chunks(1)
+    for a, b in zip(chunked, base):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
