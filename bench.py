@@ -45,6 +45,12 @@ def community_graph(rng, n, e, comm=85, p_intra=0.8):
 def main(args):
     import jax
 
+    from sir_gcn_tpu.utils import enable_compile_cache
+
+    # persistent XLA cache (measured on axon: a warm-cache process loads
+    # executables in ~0.1 s where cold compiles cost 1-100 s); disable
+    # with SIR_GCN_NO_COMPILE_CACHE=1 when measuring true cold compiles
+    enable_compile_cache()
     # hardware RNG for dropout masks (~5 ms/step cheaper than threefry at
     # this scale; the framework default stays threefry for bit-exact
     # cross-platform reproducibility)

@@ -162,6 +162,8 @@ def main(argv=None):
     p.add_argument("--nruns", type=int, default=10)
     p.add_argument("--log-every", type=int, default=20)
     args = p.parse_args(argv)
+    from sir_gcn_tpu.utils import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: first-in-container compiles only
     if args.edge_bf16:
         from sir_gcn_tpu.ops import set_edge_dtype
         set_edge_dtype(jnp.bfloat16)

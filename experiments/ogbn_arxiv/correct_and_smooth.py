@@ -117,6 +117,8 @@ def main(argv=None):
     p.add_argument("--synthetic-nodes", type=int, default=4096)
     p.add_argument("--synthetic-edges", type=int, default=32768)
     args = p.parse_args(argv)
+    from sir_gcn_tpu.utils import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: first-in-container compiles only
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

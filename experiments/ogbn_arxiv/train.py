@@ -528,6 +528,8 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
+    from sir_gcn_tpu.utils import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: first-in-container compiles only
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.remat:

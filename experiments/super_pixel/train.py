@@ -174,6 +174,8 @@ def main(argv=None):
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--synthetic-samples", type=int, default=500)
     args = p.parse_args(argv)
+    from sir_gcn_tpu.utils import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: first-in-container compiles only
     if args.edge_bf16:
         from sir_gcn_tpu.ops import set_edge_dtype
         set_edge_dtype(jnp.bfloat16)

@@ -177,6 +177,8 @@ def main(argv=None):
     p.add_argument("--synthetic-nodes", type=int, default=2048)
     p.add_argument("--synthetic-edges", type=int, default=16384)
     args = p.parse_args(argv)
+    from sir_gcn_tpu.utils import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: first-in-container compiles only
     if args.edge_bf16:
         from sir_gcn_tpu.ops import set_edge_dtype
         set_edge_dtype(jnp.bfloat16)

@@ -17,6 +17,13 @@ import jax
 # pins JAX_PLATFORMS=axon; the config flag wins over both.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache (separate dir from the TPU runs):
+# most of the suite's wall-clock is CPU compiles, repeated identically
+# every session — a warm cache cuts the full run substantially.
+from sir_gcn_tpu.utils import enable_compile_cache
+
+enable_compile_cache(os.path.expanduser("~/.cache/sir_gcn_tpu/xla_tests"))
+
 import numpy as np
 import pytest
 
