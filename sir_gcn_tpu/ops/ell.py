@@ -720,20 +720,31 @@ def _bucket_offsets(buckets):
     return offs
 
 
-_EDGE_COT_CHUNKS = 1
+_EDGE_COT_CHUNKS = 0  # 0 = auto (chunk above _EDGE_COT_AUTO_EDGES)
+_EDGE_COT_AUTO_EDGES = 1_000_000
 
 
 def set_edge_cotangent_chunks(n: int) -> None:
     """Split the backward's [E_pad, H] edge-cotangent reconstruction
     (``take(g_z, edge2slot) * mask``) into ``n`` sequential lax.map
-    chunks. With n=1 (default) the take is emitted as one op — which at
-    full-graph scale (>~2M padded edges) makes XLA's TPU compile time
-    blow up (measured >25 min at 2.5M edges, ROADMAP.md); chunking
-    bounds the per-op size so the compiler's scheduling stays linear.
-    Runtime cost of chunking is ~0 (same total gather rows)."""
+    chunks. Default 0 = auto: one op below 1M padded edges, 16/8/4/2
+    chunks (largest dividing E_pad) above. Measured at 2.5M edges x
+    H=128 on a v5e (tools/edge_compile_probe.py): chunking cuts the
+    single-step compile 89.5 -> 67.9 s and the step 127.5 -> 121.0
+    ms/iter — the smaller ops schedule better and never regress.
+    ``n=1`` forces the single-op form."""
     global _EDGE_COT_CHUNKS
-    assert n >= 1
+    assert n >= 0
     _EDGE_COT_CHUNKS = int(n)
+
+
+def _auto_chunks(e_pad: int) -> int:
+    if e_pad <= _EDGE_COT_AUTO_EDGES:
+        return 1
+    for c in (16, 8, 4, 2):
+        if e_pad % c == 0:
+            return c
+    return 1
 
 
 def _edge_cotangent(g_z, edge2slot, edge_mask, dtype=jnp.float32):
@@ -741,8 +752,8 @@ def _edge_cotangent(g_z, edge2slot, edge_mask, dtype=jnp.float32):
     per-slot cotangent table: ``take(g_z, edge2slot) * edge_mask``,
     optionally chunked (see :func:`set_edge_cotangent_chunks`)."""
     maskf = edge_mask.astype(dtype)
-    chunks = _EDGE_COT_CHUNKS
     e_pad = edge2slot.shape[0]
+    chunks = _EDGE_COT_CHUNKS or _auto_chunks(e_pad)
     if chunks <= 1 or e_pad % chunks != 0:
         return (jnp.take(g_z, edge2slot, axis=0).astype(dtype)
                 * maskf[:, None])

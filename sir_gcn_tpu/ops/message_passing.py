@@ -30,29 +30,33 @@ from ..graph import GraphBatch
 from . import segment as seg
 
 # Scale guards (measured bounds: ROADMAP "Measured bounds for the
-# XLA-composed edge/max variants", tools/r3bench2.py on a v5e chip).
-# At full-graph scale the edge-feature (SIREConv) fwd+bwd jit compiles
-# pathologically — >25 minutes at 2.5M edges x H=128, twice reproduced:
-# the [E_pad, H] edge-cotangent unslice blows up XLA's scheduling — so
-# crossing EDGE_FEATURE_EDGE_LIMIT raises instead of silently hanging
-# the user's first step. Max aggregation compiles and runs but pays the
-# per-edge W_R GEMM (reference models/conv.py:47): 108.89 ms/iter at
-# 2.5M edges / H=96, ~8x the linear-aggregation path — crossing
-# MAX_AGG_WARN_EDGES warns once with that number. No reference workload
-# runs either variant at full-graph scale (SIREConv: ZINC/molhiv
-# molecules of ~23-40 nodes; max: heterophilous graphs <= ~1M edges).
+# XLA-composed edge/max variants" + the round-4 re-measurement,
+# tools/edge_compile_probe.py on a v5e chip). At full-graph scale the
+# edge-feature (SIREConv) fwd+bwd step is usable but expensive to
+# compile: a SINGLE aggregate step at 2.5M edges x H=128 compiles in
+# ~90-170 s (once per container under the persistent compile cache) and
+# runs at ~120 ms/iter; chaining several such steps inside ONE jit
+# (fori_loop/scan over grad iterations) is what compiles pathologically
+# (>20 min, r3's ">25 min" repro — do not do that). Crossing
+# EDGE_FEATURE_EDGE_LIMIT warns once per graph size with those numbers.
+# Max aggregation compiles and runs but pays the per-edge W_R GEMM
+# (reference models/conv.py:47): 108.89 ms/iter at 2.5M edges / H=96,
+# ~8x the linear-aggregation path — crossing MAX_AGG_WARN_EDGES warns
+# once with that number. No reference workload runs either variant at
+# full-graph scale (SIREConv: ZINC/molhiv molecules of ~23-40 nodes;
+# max: heterophilous graphs <= ~1M edges).
 EDGE_FEATURE_EDGE_LIMIT = 500_000
 MAX_AGG_WARN_EDGES = 500_000
 _ALLOW_LARGE_EDGE_AGG = False
+_EDGE_AGG_WARNED: set = set()
 _MAX_AGG_WARNED: set = set()
 
 
 def allow_large_edge_aggregate(enabled: bool = True) -> None:
-    """Override the edge-feature scale guard: permit ``sir_aggregate``
-    with edge features above ``EDGE_FEATURE_EDGE_LIMIT`` edges. Expect
-    XLA compile times that grow pathologically with E_pad (measured
-    >25 min at 2.5M edges — ROADMAP); prefer graph partitioning or
-    batching instead."""
+    """Silence the edge-feature scale warning: ``sir_aggregate`` with
+    edge features above ``EDGE_FEATURE_EDGE_LIMIT`` edges proceeds
+    without the once-per-size compile-cost warning (measured ~90-170 s
+    first compile + ~120 ms/iter at 2.5M edges — ROADMAP round 4)."""
     global _ALLOW_LARGE_EDGE_AGG
     _ALLOW_LARGE_EDGE_AGG = bool(enabled)
 
@@ -61,16 +65,21 @@ def _scale_guards(graph, agg_type: str, has_edge_feats: bool) -> None:
     e_pad = int(graph.e_pad)
     if (has_edge_feats and e_pad > EDGE_FEATURE_EDGE_LIMIT
             and not _ALLOW_LARGE_EDGE_AGG):
-        raise ValueError(
-            f"sir_aggregate with edge features on a graph with "
-            f"{e_pad} padded edges (> {EDGE_FEATURE_EDGE_LIMIT}): the "
-            f"backward's [E_pad, H] edge-cotangent reconstruction makes "
-            f"XLA compile times blow up at this scale (measured >25 min "
-            f"at 2.5M edges — see ROADMAP.md). SIREConv-style layers are "
-            f"intended for batched molecular graphs; for full-graph "
-            f"training drop edge features, or partition the graph, or "
-            f"call sir_gcn_tpu.ops.allow_large_edge_aggregate(True) to "
-            f"proceed anyway.")
+        if e_pad not in _EDGE_AGG_WARNED:  # once per graph size
+            _EDGE_AGG_WARNED.add(e_pad)
+            warnings.warn(
+                f"sir_aggregate with edge features on a graph with "
+                f"{e_pad} padded edges (> {EDGE_FEATURE_EDGE_LIMIT}): "
+                f"expect a long FIRST XLA compile at this scale "
+                f"(measured ~90-170 s for one aggregate at 2.5M edges "
+                f"on a v5e; the persistent compile cache makes repeat "
+                f"processes cheap) and ~2x the no-edge step cost at "
+                f"runtime (~120 ms/iter measured — ROADMAP.md). Do NOT "
+                f"chain multiple gradient steps inside one jit at this "
+                f"scale: that shape compiles pathologically (>20 min). "
+                f"Call sir_gcn_tpu.ops.allow_large_edge_aggregate(True) "
+                f"to silence this warning.",
+                stacklevel=3)
     if agg_type == "max" and e_pad > MAX_AGG_WARN_EDGES:
         if e_pad not in _MAX_AGG_WARNED:  # once per graph size
             _MAX_AGG_WARNED.add(e_pad)

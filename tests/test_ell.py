@@ -339,12 +339,13 @@ def test_chunked_edge_cotangent_identical(rng):
             return jnp.sum(out * w)
         return inner
 
-    base = jax.grad(loss(fg), argnums=(0, 1, 2))(eq, ek, e)
     try:
+        ell_mod.set_edge_cotangent_chunks(1)
+        base = jax.grad(loss(fg), argnums=(0, 1, 2))(eq, ek, e)
         ell_mod.set_edge_cotangent_chunks(4)
         assert g.e_pad % 4 == 0  # chunking actually engages
         chunked = jax.grad(loss(fg), argnums=(0, 1, 2))(eq, ek, e)
     finally:
-        ell_mod.set_edge_cotangent_chunks(1)
+        ell_mod.set_edge_cotangent_chunks(0)  # back to auto default
     for a, b in zip(chunked, base):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

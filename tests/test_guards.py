@@ -1,9 +1,10 @@
-"""Scale guards for the pathological full-graph variants (VERDICT r3
-item 3): edge-feature (SIREConv) aggregation above the measured
-compile-blowup scale must raise loudly instead of silently compiling for
->25 minutes (ROADMAP "Measured bounds for the XLA-composed edge/max
-variants"), and full-graph max aggregation must emit its documented cost
-warning."""
+"""Scale guards for the expensive full-graph variants (VERDICT r3
+item 3, re-measured round 4 with tools/edge_compile_probe.py):
+edge-feature (SIREConv) aggregation above the measured long-compile
+scale must warn loudly with its measured costs (~90-170 s first compile,
+~120 ms/iter at 2.5M edges; chained-steps-in-one-jit still pathological)
+instead of silently stalling the user's first step, and full-graph max
+aggregation must emit its documented cost warning."""
 
 import warnings
 
@@ -20,9 +21,11 @@ from sir_gcn_tpu.ops import sir_aggregate
 def _reset_guard_state():
     mp._ALLOW_LARGE_EDGE_AGG = False
     mp._MAX_AGG_WARNED.clear()
+    mp._EDGE_AGG_WARNED.clear()
     yield
     mp._ALLOW_LARGE_EDGE_AGG = False
     mp._MAX_AGG_WARNED.clear()
+    mp._EDGE_AGG_WARNED.clear()
 
 
 def _big_graph(rng, e_pad):
@@ -33,22 +36,29 @@ def _big_graph(rng, e_pad):
     return build_graph(src, dst, n, n_pad=n, e_pad=e_pad)
 
 
-def test_edge_features_above_limit_raise(rng):
+def test_edge_features_above_limit_warn_once(rng):
     g = _big_graph(rng, mp.EDGE_FEATURE_EDGE_LIMIT + 8)
     h = 4
     eq = jnp.zeros((g.n_pad, h))
     e = jnp.zeros((g.e_pad, h))
-    with pytest.raises(ValueError, match="edge features"):
+    with pytest.warns(UserWarning, match="edge features"):
+        out = sir_aggregate(g, eq, eq, jnp.tanh, "sum", e=e)
+    assert out.shape == (g.n_pad, h)
+    # second call on the same size: silent (warn once per graph size)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         sir_aggregate(g, eq, eq, jnp.tanh, "sum", e=e)
 
 
-def test_edge_feature_guard_override_runs(rng):
+def test_edge_feature_guard_override_silences(rng):
     g = _big_graph(rng, mp.EDGE_FEATURE_EDGE_LIMIT + 8)
     h = 4
     eq = jnp.zeros((g.n_pad, h))
     e = jnp.zeros((g.e_pad, h))
     mp.allow_large_edge_aggregate(True)
-    out = sir_aggregate(g, eq, eq, jnp.tanh, "sum", e=e)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = sir_aggregate(g, eq, eq, jnp.tanh, "sum", e=e)
     assert out.shape == (g.n_pad, h)
 
 

@@ -38,7 +38,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", required=True,
                     choices=["noedge", "fwd", "grad_eq", "grad_all",
-                             "grad_all_chunked"])
+                             "grad_all_chunked", "grad_fori",
+                             "grad_fori_chunked", "time_step",
+                             "time_step_chunked", "time_step_noedge"])
     ap.add_argument("--edges", type=int, default=1_166_243,
                     help="raw edge count before bidirect+self-loops "
                          "(arxiv = 1166243 -> ~2.5M padded)")
@@ -80,10 +82,11 @@ def main():
     log(f"graph: e_pad={g.e_pad} n_pad={g.n_pad} "
         f"(built in {time.time() - t0:.1f}s)")
 
-    if cli.variant == "grad_all_chunked":
+    if cli.variant in ("grad_all_chunked", "grad_fori_chunked",
+                       "time_step_chunked"):
         ell_mod.set_edge_cotangent_chunks(cli.chunks)
 
-    with_edge = cli.variant != "noedge"
+    with_edge = cli.variant not in ("noedge", "time_step_noedge")
     f = make_ell_sir_aggregate_pallas(
         fg, jnp.tanh, "sym", with_edge=with_edge,
         edge_dtype=jnp.bfloat16, static_scale=True)
@@ -95,7 +98,52 @@ def main():
     e_feat = (jnp.asarray(rng.normal(size=(g.e_pad, H)), jnp.float32)
               if with_edge else jnp.zeros((0,), jnp.float32))
 
-    if cli.variant == "fwd":
+    if cli.variant.startswith("time_step"):
+        # single-dispatch step timing (RPC noise ~10-50 ms; adequate for
+        # a guard-message cost quote): grads reduced to ONE scalar so
+        # fetching it is a true barrier over the relay
+        argnums = (0, 1, 2) if with_edge else (0, 1)
+
+        def scalar_step(a, b, e):
+            gs = jax.grad(
+                lambda a_, b_, e_: jnp.sum(f(a_, b_, e_, valid) * w),
+                argnums=argnums)(a, b, e)
+            return sum(jnp.sum(x) for x in gs)
+
+        fn = jax.jit(scalar_step)
+        args = (eq, ek, e_feat)
+        t0 = time.time()
+        lowered = fn.lower(*args)
+        compiled = lowered.compile()
+        log(f"lower+compile in {time.time() - t0:.1f}s")
+        times = []
+        for i in range(6):
+            t0 = time.time()
+            float(compiled(*args))
+            times.append(time.time() - t0)
+        times_ms = [round(t * 1e3, 1) for t in times]
+        med = sorted(times[1:])[len(times[1:]) // 2] * 1e3
+        log(f"dispatch times ms: {times_ms}; median(last5) {med:.1f}")
+        print(f'{{"variant": "{cli.variant}", "e_pad": {g.e_pad}, '
+              f'"median_ms": {med:.1f}}}')
+        return
+
+    if cli.variant in ("grad_fori", "grad_fori_chunked"):
+        # the r3bench2.py F2 harness shape that measured >25 min:
+        # 10 grad iterations chained inside ONE jit via fori_loop
+        def fn_(eq, ek):
+            def body(i, carry):
+                eq_c, acc = carry
+                out = jax.grad(
+                    lambda a, b: jnp.sum(f(a, b, e_feat, valid) * w),
+                    argnums=0)(eq_c, ek)
+                return (eq_c * (1.0 + 1e-20 * out[0, 0]),
+                        acc + out[0, 0])
+            return jax.lax.fori_loop(0, 10, body, (eq, jnp.zeros(())))
+
+        fn = jax.jit(fn_)
+        args = (eq, ek)
+    elif cli.variant == "fwd":
         fn = jax.jit(lambda a, b, e: jnp.sum(f(a, b, e, valid) * w))
         args = (eq, ek, e_feat)
     elif cli.variant == "grad_eq":
