@@ -36,27 +36,6 @@ class SIRModel(nn.Module):
         return sum_pool(graph, x)
 
 
-class GCNModel(nn.Module):
-    """Baseline: pools first, regression after (model.py:52-61)."""
-
-    input_dim: int
-    hidden_dim: int
-    output_dim: int = 1
-    num_layers: int = 1
-    dropout: float = 0.0
-
-    @nn.compact
-    def __call__(self, graph: GraphBatch, feats: jax.Array, *,
-                 deterministic: bool = True) -> jax.Array:
-        x = Embed(self.input_dim, self.hidden_dim, name="embedding")(feats)
-        drop = nn.Dropout(self.dropout, deterministic=deterministic)
-        for i in range(self.num_layers):
-            x = GraphConv(self.hidden_dim, name=f"conv_{i}")(graph, x)
-            x = drop(x)
-        x = sum_pool(graph, x)
-        return Linear(self.output_dim, use_bias=False, name="regression")(x)
-
-
 class _PoolBaseline(nn.Module):
     """Shared baseline skeleton: embed -> convs -> SumPool -> regression
     (reference model.py:37-169; pooling before the head, unlike SIR)."""
@@ -86,6 +65,13 @@ class _PoolBaseline(nn.Module):
         x = sum_pool(graph, x)
         return Linear(self.output_dim, use_bias=False,
                       name="regression")(x)
+
+
+class GCNModel(_PoolBaseline):
+    """Baseline: pools first, regression after (model.py:52-61)."""
+
+    def conv(self, i):
+        return GraphConv(self.hidden_dim, name=f"conv_{i}")
 
 
 class GATModel(_PoolBaseline):

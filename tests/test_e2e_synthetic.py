@@ -41,3 +41,19 @@ def test_gcn_baseline_fails_dictionary_lookup():
         "--model", "GCN", "--log-every", "1000",
     ])
     assert test_accs[0] < 0.7
+
+
+@pytest.mark.parametrize("model", ["GCN", "GAT", "SAGE", "GIN", "PNA"])
+def test_hetero_edge_count_baselines_run(model):
+    """Every baseline in the reference's hetero-edge-count README table
+    must run through the harness with its README flags (a GCNModel
+    kwarg mismatch once broke `--model GCN` — round 4)."""
+    from experiments.hetero_edge_count.train import main
+
+    losses, test_losses = main([
+        "--nodes", "6", "--classes", "2", "--nhidden", "8",
+        "--samples", "60", "--epochs", "2", "--batch-size", "32",
+        "--nruns", "1", "--model", model, "--nheads", "1",
+        "--log-every", "1000",
+    ])
+    assert np.isfinite(test_losses[0])
