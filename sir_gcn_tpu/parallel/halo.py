@@ -567,8 +567,20 @@ def _to_shard_edges(hfg: HaloFastGraph, e):
 
 def _unshard_edge_grad(hfg: HaloFastGraph, g_e_sh):
     """[S*Emax, H] per-shard edge cotangents -> [E_pad, H] global sorted
-    order via the host-precomputed inverse map (scatter-free)."""
-    return jnp.take(g_e_sh, hfg.edge_unslice, axis=0)
+    order via the host-precomputed inverse map (scatter-free). Chunked
+    above 1M padded edges like the single-device edge cotangent
+    (ops/ell.py `_edge_cotangent`): bounds the per-op size so XLA's
+    compile time stays linear at full-graph scale (ROADMAP round 4)."""
+    from ..ops.ell import _EDGE_COT_CHUNKS, _auto_chunks
+
+    idx = hfg.edge_unslice
+    e_pad = idx.shape[0]
+    chunks = _EDGE_COT_CHUNKS or _auto_chunks(e_pad)
+    if chunks <= 1 or e_pad % chunks != 0:
+        return jnp.take(g_e_sh, idx, axis=0)
+    rows = jax.lax.map(lambda i: jnp.take(g_e_sh, i, axis=0),
+                       idx.reshape(chunks, e_pad // chunks))
+    return rows.reshape(e_pad, -1)
 
 
 def make_halo_sir_aggregate(

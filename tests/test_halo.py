@@ -330,3 +330,37 @@ def test_halo_max_matches_reference(rng, with_edge, dynamic):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=1e-3,
                                    err_msg=f"grad argnum {i}")
+
+
+def test_halo_chunked_edge_cotangent_identical(rng):
+    """The chunked halo edge-cotangent unslice (`_unshard_edge_grad`,
+    engaged automatically above 1M padded edges) is numerically identical
+    to the single-take form."""
+    import sir_gcn_tpu.ops.ell as ell_mod
+    from sir_gcn_tpu.parallel.halo import build_halo_graph
+
+    n, e, h = 256, 2048, 8
+    src, dst = _locality_graph(rng, n, e)
+    g = build_graph(src, dst, n, n_pad=256, e_pad=2048)
+    mesh = make_mesh((8,), ("graph",))
+    hg = build_halo_graph(g, 8, mesh, agg_type="sum", max_budget=16)
+
+    eq = jnp.asarray(rng.normal(size=(256, h)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(256, h)), jnp.float32)
+    ef = jnp.asarray(rng.normal(size=(2048, h)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, h)), jnp.float32)
+    sh = NamedSharding(mesh, P("graph"))
+    eq_s, ek_s = jax.device_put(eq, sh), jax.device_put(ek, sh)
+
+    def loss(a, b, c):
+        return jnp.sum(sir_aggregate(hg, a, b, jnp.tanh, "sum", e=c) * w)
+
+    try:
+        ell_mod.set_edge_cotangent_chunks(1)
+        base = jax.grad(loss, argnums=(0, 1, 2))(eq_s, ek_s, ef)
+        ell_mod.set_edge_cotangent_chunks(4)
+        chunked = jax.grad(loss, argnums=(0, 1, 2))(eq_s, ek_s, ef)
+    finally:
+        ell_mod.set_edge_cotangent_chunks(0)
+    for a, b in zip(chunked, base):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
