@@ -2,11 +2,18 @@
 
 r3bench2.py section F2 measured: `make_ell_sir_aggregate_pallas(
 with_edge=True)` fwd+bwd at 2.5M edges / H=96 compiles for >25 minutes
-(twice reproduced, killed) — the motivation for the
-EDGE_FEATURE_EDGE_LIMIT scale guard in ops/message_passing.py. This
+(twice reproduced, killed) — originally the motivation for an
+EDGE_FEATURE_EDGE_LIMIT hard raise in ops/message_passing.py. This
 probe compiles ONE variant per process (so a hung compile is killed by
 the caller's `timeout` without losing the other measurements) and
 prints the AOT compile wall time.
+
+ROUND-4 RESULT (logs in stats10/r4logs/probe_*.log): the bare step
+compiles in ~90-170 s and runs ~120 ms/iter; only the CHAINED shape
+(grad_fori: 10 grad steps in one jit — r3bench2's timing harness)
+reproduces the blowup, chunked or not. The guard is now a loud
+once-per-size warning and the edge-cotangent take auto-chunks above
+1M edges (see ops/ell.py set_edge_cotangent_chunks).
 
 Variants:
   noedge      fwd+bwd, no edge features (baseline compile time)
