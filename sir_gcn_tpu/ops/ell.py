@@ -732,7 +732,11 @@ def set_edge_cotangent_chunks(n: int) -> None:
     H=128 on a v5e (tools/edge_compile_probe.py): chunking cuts the
     single-step compile 89.5 -> 67.9 s and the step 127.5 -> 121.0
     ms/iter — the smaller ops schedule better and never regress.
-    ``n=1`` forces the single-op form."""
+    ``n=1`` forces the single-op form.
+
+    The setting is read at TRACE time: it takes effect on the next
+    trace/compile, and functions that are already jit-compiled keep
+    their prior chunking (jit caches are not keyed on it)."""
     global _EDGE_COT_CHUNKS
     assert n >= 0
     _EDGE_COT_CHUNKS = int(n)

@@ -76,7 +76,10 @@ def _scale_guards(graph, agg_type: str, has_edge_feats: bool) -> None:
                 f"processes cheap) and ~2x the no-edge step cost at "
                 f"runtime (~120 ms/iter measured — ROADMAP.md). Do NOT "
                 f"chain multiple gradient steps inside one jit at this "
-                f"scale: that shape compiles pathologically (>20 min). "
+                f"scale (lax.scan/fori_loop training loops included): "
+                f"that shape compiles pathologically (>20 min). Jit ONE "
+                f"train step and loop in Python instead — see "
+                f"MIGRATION.md 'SIREConv at full-graph scale'. "
                 f"Call sir_gcn_tpu.ops.allow_large_edge_aggregate(True) "
                 f"to silence this warning.",
                 stacklevel=3)

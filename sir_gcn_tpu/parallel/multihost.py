@@ -61,22 +61,36 @@ def initialize_multihost(
 ) -> dict:
     """Initialize jax.distributed and report the global topology.
 
-    Explicit arguments always initialize. With no arguments,
-    auto-detection runs only when ``auto=True`` or the environment shows
-    evidence of more than one worker (see :func:`_multiworker_env`);
-    otherwise the runtime stays single-process without touching
-    jax.distributed."""
+    Explicit arguments always initialize (failures propagate). With no
+    arguments, auto-detection runs when ``auto=True`` (failures propagate
+    — the caller asked for a cluster) or when the environment shows
+    evidence of more than one worker (see :func:`_multiworker_env`;
+    failures warn loudly and fall back to single-process); otherwise the
+    runtime stays single-process without touching jax.distributed."""
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    elif num_processes is None and (auto or _multiworker_env()):
+    elif num_processes is None and auto:
+        # The caller explicitly asked for multi-host: a failed initialize
+        # must NOT degrade to N independent single-process runs (for
+        # full-graph training that is silently wrong results, not a
+        # crash) — propagate the error.
+        jax.distributed.initialize()
+    elif num_processes is None and _multiworker_env():
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # no usable cluster environment: single-process
+        except Exception as exc:  # leftover cluster env on a single host
+            import warnings
+            warnings.warn(
+                "Environment shows evidence of a multi-worker cluster but "
+                f"jax.distributed.initialize() failed ({exc!r}); continuing "
+                "SINGLE-PROCESS. If this host is part of a real pod, every "
+                "worker is now training independently — results will be "
+                "wrong. Pass auto=True or explicit coordinator args to make "
+                "this fatal.", RuntimeWarning, stacklevel=2)
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

@@ -10,6 +10,12 @@ backend: a 0.84 s compile loads in 0.10 s from a warm cache
 
 Opt out with SIR_GCN_NO_COMPILE_CACHE=1 (e.g. when measuring true
 cold-compile costs).
+
+Because min_compile_time/min_entry_size are zeroed, EVERY executable is
+cached and JAX performs no eviction: the directory grows without bound
+across shapes and sessions (~tens of MB per distinct graph size here).
+It is a pure cache — deleting ~/.cache/sir_gcn_tpu at any time is safe
+and merely restores cold-compile costs for the next process.
 """
 
 from __future__ import annotations
