@@ -147,6 +147,27 @@ class SIREConv(nn.Module):
                          name="linear_query")(feat_dst))
         ek = drop(Linear(self.hidden_dim, use_bias=False,
                          name="linear_key")(feat_src))
+
+        # Fused-edge route: with the default Linear W_E and no active
+        # edge dropout, hand sir_aggregate the RAW features + W_E so the
+        # TPU fast path can fold the projection into the kernels and
+        # never materialize the [E_pad, H] projection/cotangent (exact
+        # same math; pulling W_E through the identity keeps the param
+        # tree of the unfused Linear).
+        edge_drop_off = self.dropout == 0.0 or deterministic
+        if (self.edge_encoder is None and edge_drop_off
+                and self.agg_type != "max" and efeat.ndim == 2):
+            de = efeat.shape[-1]
+            w_e = Linear(self.hidden_dim, use_bias=False,
+                         name="linear_edge")(jnp.eye(de, dtype=efeat.dtype))
+            e_basis = jnp.take(efeat, graph.edge_perm, axis=0)
+            agg = mp.sir_aggregate(
+                graph, eq, ek, self.activation, self.agg_type,
+                e_basis=e_basis, w_edge=w_e, edge_mask=edge_mask,
+            )
+            return Linear(self.output_dim, use_bias=self.outer_bias,
+                          name="linear_relation")(agg)
+
         if self.edge_encoder is not None:
             e = self.edge_encoder(efeat)
         else:

@@ -61,9 +61,29 @@ def allow_large_edge_aggregate(enabled: bool = True) -> None:
     _ALLOW_LARGE_EDGE_AGG = bool(enabled)
 
 
-def _scale_guards(graph, agg_type: str, has_edge_feats: bool) -> None:
+def _max_pallas_route(graph, activation, eq) -> bool:
+    """Whether a max aggregation on this graph would take the fused
+    Pallas kernels (``make_ell_sir_aggregate_max_pallas``)."""
+    from .ell import FastGraph, _activation_info
+    from .pallas import pallas_available
+
+    if not (isinstance(graph, FastGraph)
+            and type(graph).__name__ != "HaloGraph"
+            and pallas_available()):
+        return False
+    return _activation_info(activation, eq.shape[-1])[1]
+
+
+def _scale_guards(graph, agg_type: str, has_edge_feats: bool,
+                  fused_edge: bool = False,
+                  pallas_max: bool = False) -> None:
+    """Once-per-size cost warnings for the XLA-composed edge/max
+    variants. ``fused_edge`` / ``pallas_max`` suppress the respective
+    warning: the fused Pallas routes (round 5) do not carry the measured
+    pathologies."""
     e_pad = int(graph.e_pad)
-    if (has_edge_feats and e_pad > EDGE_FEATURE_EDGE_LIMIT
+    if (has_edge_feats and not fused_edge
+            and e_pad > EDGE_FEATURE_EDGE_LIMIT
             and not _ALLOW_LARGE_EDGE_AGG):
         if e_pad not in _EDGE_AGG_WARNED:  # once per graph size
             _EDGE_AGG_WARNED.add(e_pad)
@@ -83,7 +103,7 @@ def _scale_guards(graph, agg_type: str, has_edge_feats: bool) -> None:
                 f"Call sir_gcn_tpu.ops.allow_large_edge_aggregate(True) "
                 f"to silence this warning.",
                 stacklevel=3)
-    if agg_type == "max" and e_pad > MAX_AGG_WARN_EDGES:
+    if agg_type == "max" and not pallas_max and e_pad > MAX_AGG_WARN_EDGES:
         if e_pad not in _MAX_AGG_WARNED:  # once per graph size
             _MAX_AGG_WARNED.add(e_pad)
             warnings.warn(
@@ -145,6 +165,8 @@ def sir_aggregate(
     agg_type: str = "sum",
     *,
     e: Optional[jax.Array] = None,
+    e_basis: Optional[jax.Array] = None,
+    w_edge: Optional[jax.Array] = None,
     w_relation: Optional[jax.Array] = None,
     b_relation: Optional[jax.Array] = None,
     edge_mask: Optional[jax.Array] = None,
@@ -162,6 +184,16 @@ def sir_aggregate(
     e : optional [E_pad, H]
         Edge-feature projection in *sorted edge order* (caller gathers via
         ``graph.edge_perm``); added inside sigma (conv.py:111).
+    e_basis, w_edge : optional [E_pad, De] / [De, H]
+        Alternative to ``e`` for AFFINE edge encoders: the raw edge
+        features (sorted order) and the projection ``linear_edge``
+        (conv.py:86: bias=False), so ``e = e_basis @ w_edge``. On the
+        TPU fast path this engages the fused-edge kernels — the wide
+        [E_pad, H] projection and its cotangent never materialize
+        (``make_ell_sir_aggregate_pallas_fused_edge``); elsewhere the
+        projection is computed here and the generic path runs.
+        Embedding encoders fit by passing a one-hot basis. ``e_basis``
+        receives no gradient.
     w_relation, b_relation : optional [H, O] / [O]
         Required for ``max``: the per-edge W_R applied before the reduce.
         Ignored for linear aggregators (the caller hoists W_R per node).
@@ -174,7 +206,35 @@ def sir_aggregate(
     """
     if agg_type not in ("sum", "mean", "max", "sym"):
         raise NotImplementedError(f"agg_type = {agg_type} not implemented")
-    _scale_guards(graph, agg_type, e is not None)
+    assert e is None or e_basis is None, "pass e OR (e_basis, w_edge)"
+    if e_basis is not None:
+        assert w_edge is not None, "e_basis needs w_edge"
+
+    from .ell import (
+        FastGraph,
+        _activation_info,
+        ell_sir_aggregate,
+        make_ell_sir_aggregate_pallas_fused_edge,
+    )
+    from .pallas import pallas_available
+
+    # fused-edge route (VERDICT r4 item 1a): FastGraph + TPU + linear agg
+    # + elementwise pallas-compatible sigma
+    fused_edge = False
+    if (e_basis is not None and isinstance(graph, FastGraph)
+            and agg_type in ("sum", "mean", "sym")
+            and type(graph).__name__ != "HaloGraph"
+            and pallas_available()):
+        elem, pallas_ok = _activation_info(activation, eq.shape[-1])
+        fused_edge = elem and pallas_ok
+    if e_basis is not None and not fused_edge:
+        e = (e_basis @ w_edge).astype(eq.dtype)
+        e_basis = w_edge = None
+
+    _scale_guards(graph, agg_type, e is not None,
+                  fused_edge=fused_edge,
+                  pallas_max=(agg_type == "max"
+                              and _max_pallas_route(graph, activation, eq)))
 
     if type(graph).__name__ == "HaloGraph":  # lazy: avoid import cycle
         from ..parallel.halo import halo_sir_aggregate
@@ -187,7 +247,29 @@ def sir_aggregate(
                                   b_relation=b_relation,
                                   edge_mask=edge_mask)
 
-    from .ell import FastGraph, ell_sir_aggregate
+    if fused_edge:
+        g = graph.graph
+        static = (edge_mask is None and graph.dst_slot_scales is not None
+                  and agg_type in graph.dst_slot_scales)
+        f = make_ell_sir_aggregate_pallas_fused_edge(
+            graph, activation, agg_type, edge_dtype=get_edge_dtype(),
+            static_scale=static)
+        if static:
+            scale = jnp.zeros((graph.e_pad,), jnp.float32)  # unused
+        else:
+            valid = g.edge_mask if edge_mask is None else jnp.logical_and(
+                g.edge_mask, edge_mask)
+            scale = valid.astype(eq.dtype)
+            sym_scale = _edge_scale(g, agg_type)
+            if sym_scale is not None:
+                scale = scale * sym_scale
+        out = f(eq, ek, e_basis, w_edge, scale)
+        if agg_type == "mean" and not static:
+            counts = graph.dst_plan.reduce_slots_sum(
+                graph.dst_plan.gather_edges(scale)[:, None]
+                * graph.dst_plan.slot_valid[:, None])
+            out = out / jnp.maximum(counts, 1.0)
+        return out
 
     if isinstance(graph, FastGraph) and agg_type in ("sum", "mean", "sym"):
         g = graph.graph
@@ -213,14 +295,22 @@ def sir_aggregate(
             out = out / jnp.maximum(counts, 1.0)
         return out
     if isinstance(graph, FastGraph):  # max aggregation fast path
-        from .ell import make_ell_sir_aggregate_max
+        from .ell import (
+            make_ell_sir_aggregate_max,
+            make_ell_sir_aggregate_max_pallas,
+        )
 
         assert w_relation is not None, "max aggregation needs W_R per edge"
         g = graph.graph
         valid = g.edge_mask if edge_mask is None else jnp.logical_and(
             g.edge_mask, edge_mask)
-        f = make_ell_sir_aggregate_max(graph, activation,
-                                       with_edge=e is not None)
+        if _max_pallas_route(graph, activation, eq):
+            f = make_ell_sir_aggregate_max_pallas(
+                graph, activation, with_edge=e is not None,
+                edge_dtype=get_edge_dtype())
+        else:
+            f = make_ell_sir_aggregate_max(graph, activation,
+                                           with_edge=e is not None)
         b = (b_relation if b_relation is not None
              else jnp.zeros((w_relation.shape[1],), eq.dtype))
         if e is None:

@@ -387,6 +387,388 @@ def bucket_bcast_act_reduce_bwd(
     )(ekg, eq_rows, scale, g_rows)
 
 
+def bucket_edge_act_reduce2(
+    ekg: jax.Array,       # [R*B, H] gathered key-side values (slot order)
+    egr: jax.Array,       # [R*B, De] raw edge-basis rows (slot order)
+    eq_rows: jax.Array,   # [R, H]   per-row query values
+    scale: jax.Array,     # [R, B] fused scale (0 = padding slot)
+    w_e: jax.Array,       # [De, H] edge projection (reference linear_edge)
+    budget: int,
+    activation: Callable[[jax.Array], jax.Array],
+    interpret: bool = False,
+):
+    """Fused-edge dual-output forward for ELEMENTWISE activations
+    (SIREConv math, reference ``models/conv.py:111``):
+
+        z[r,b]   = eq_rows[r] + ekg[r,b] + egr[r,b] @ w_e
+        rows[r]  = sum_b scale[r,b] * act(z[r,b])
+        srows[r] = sum_b scale[r,b] * act'(z[r,b])
+
+    The edge projection runs on the MXU *inside* the kernel, so only the
+    narrow [S, De] basis crosses HBM — never an [S, H] edge-slot table.
+    The basis is anything the edge encoder is affine in: raw float
+    features for the default ``linear_edge``, a one-hot of discrete bond
+    types for the Embedding encoder (SIREConv2), a concatenation of
+    one-hots for OGB's BondEncoder.
+    """
+    R, H = eq_rows.shape
+    De = egr.shape[1]
+    B = budget
+    TR = _tile_rows(B)
+    grid = (_cdiv(R, TR),)
+
+    def kernel(ekg_ref, egr_ref, eq_ref, sc_ref, we_ref, out_ref, s_ref):
+        e = jax.lax.dot_general(
+            egr_ref[:].astype(jnp.float32), we_ref[:].astype(jnp.float32),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        z = ((ekg_ref[:].astype(jnp.float32) + e).reshape(TR, B, H)
+             + eq_ref[:][:, None, :])
+        m, vjp = jax.vjp(activation, z)
+        sc3 = sc_ref[:][:, :, None]
+        out_ref[:] = (m * sc3).sum(axis=1)
+        (d,) = vjp(jnp.broadcast_to(sc3, z.shape))
+        s_ref[:] = d.sum(axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR * B, De), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((De, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, H), eq_rows.dtype),
+            jax.ShapeDtypeStruct((R, H), jnp.float32),
+        ),
+        interpret=interpret,
+    )(ekg, egr, eq_rows, scale, w_e)
+
+
+def bucket_edge_src_bwd(
+    eqg: jax.Array,       # [R*B, H] dst-side values gathered per SRC slot
+    egr: jax.Array,       # [R*B, De] raw edge-basis rows (src-slot order)
+    ek_rows: jax.Array,   # [R, H]   per-src-row key values
+    scale: jax.Array,     # [R, B]   scale in src-slot order
+    gg: jax.Array,        # [R*B, H] output cotangent gathered per SRC slot
+    w_e: jax.Array,       # [De, H]
+    budget: int,
+    activation: Callable[[jax.Array], jax.Array],
+    interpret: bool = False,
+):
+    """src-major backward of the fused-edge path. Recomputes
+    z = eq[dst_e] + ek[src_e] + egr_e @ w_e in src-slot order and emits
+
+        g_ek_rows[r] = sum_b g_z[r,b]          (reduce by src)
+        g_we         = sum_slots egr[s]^T g_z[s]  (accumulated in-kernel
+                                                   across grid steps)
+
+    where g_z = vjp(act, z)(scale * gg). The [E_pad, H] per-edge
+    cotangent the unfused path materializes (and XLA schedules
+    pathologically at full-graph scale — ROADMAP round 4) never exists:
+    the edge projection's parameter gradient is reduced per SLOT on the
+    MXU instead."""
+    R, H = ek_rows.shape
+    De = egr.shape[1]
+    B = budget
+    TR = _tile_rows(B)
+    grid = (_cdiv(R, TR),)
+
+    def kernel(eqg_ref, egr_ref, ek_ref, sc_ref, gg_ref, we_ref,
+               gek_ref, gwe_ref):
+        er = egr_ref[:].astype(jnp.float32)
+        e = jax.lax.dot_general(
+            er, we_ref[:].astype(jnp.float32),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        z = ((eqg_ref[:].astype(jnp.float32) + e).reshape(TR, B, H)
+             + ek_ref[:][:, None, :])
+        _, vjp = jax.vjp(activation, z)
+        g_m = (gg_ref[:].astype(jnp.float32).reshape(TR, B, H)
+               * sc_ref[:][:, :, None])
+        (g_z,) = vjp(g_m)
+        # the grid's last tile may run past R: per-row outputs get sliced
+        # away by the caller, but the gwe reduction would sum the padded
+        # tail's garbage — mask rows beyond R explicitly
+        rows_left = R - pl.program_id(0) * TR
+        rmask = jax.lax.broadcasted_iota(jnp.int32, (TR, 1, 1), 0) \
+            < rows_left
+        g_z = jnp.where(rmask, g_z, 0.0)  # where, not *: 0 * NaN = NaN
+        gek_ref[:] = g_z.sum(axis=1)
+        # mask er too: a garbage tail in EITHER GEMM operand would
+        # poison the accumulation
+        smask = jax.lax.broadcasted_iota(jnp.int32, (TR * B, 1), 0) \
+            < rows_left * B
+        gwe_part = jax.lax.dot_general(
+            jnp.where(smask, er, 0.0), g_z.reshape(TR * B, H),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            gwe_ref[:] = jnp.zeros_like(gwe_ref)
+
+        gwe_ref[:] += gwe_part
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR * B, De), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((De, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((De, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, H), jnp.float32),
+            jax.ShapeDtypeStruct((De, H), jnp.float32),
+        ),
+        interpret=interpret,
+    )(eqg, egr, ek_rows, scale, gg, w_e)
+
+
+# ----------------------------------------------------------------------
+# Max-aggregation bucket kernels (per-edge W_R GEMM fused with the
+# masked max reduce — reference models/conv.py:47)
+# ----------------------------------------------------------------------
+
+# the max kernels hold (TR, B, H) AND (TR, B, O) f32 intermediates plus
+# the W blocks, so they budget fewer slots per tile than the linear ones
+_SLOT_TILE_MAX = 2048
+
+
+def bucket_max_gemm_fwd(
+    ekg: jax.Array,       # [R*B, H] gathered pre-activation key side
+    eq_rows: jax.Array,   # [R, H]
+    scale: jax.Array,     # [R, B]  (0 = invalid/padding slot)
+    w: jax.Array,         # [H, O]  per-edge W_R
+    budget: int,
+    activation: Callable[[jax.Array], jax.Array],
+    interpret: bool = False,
+) -> jax.Array:
+    """rows[r] = max_b { act(eq[r] + ekg[r,b]) @ w  if scale[r,b] > 0 }
+    (invalid slots -> dtype min), fused act + MXU GEMM + masked reduce.
+    Bias is NOT added here — max(m + b) == max(m) + b per output, so the
+    builder hoists it to the node level."""
+    R, H = eq_rows.shape
+    O = w.shape[1]
+    B = budget
+    TR = _tile_rows(B, _SLOT_TILE_MAX)
+    grid = (_cdiv(R, TR),)
+
+    def kernel(ekg_ref, eq_ref, sc_ref, w_ref, out_ref):
+        z = (ekg_ref[:].astype(jnp.float32).reshape(TR, B, H)
+             + eq_ref[:][:, None, :])
+        a = activation(z)
+        m = jax.lax.dot_general(
+            a.reshape(TR * B, H), w_ref[:].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(TR, B, O)
+        neg = jnp.finfo(jnp.float32).min
+        valid = sc_ref[:][:, :, None] > 0
+        out_ref[:] = jnp.where(valid, m, neg).max(axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, O), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, O), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, O), jnp.float32),
+        interpret=interpret,
+    )(ekg, eq_rows, scale, w)
+
+
+def bucket_max_wincount(
+    ekg: jax.Array,       # [R*B, H]
+    eq_rows: jax.Array,   # [R, H]
+    scale: jax.Array,     # [R, B]
+    out_rows: jax.Array,  # [R, O] the KEY-level max (pre-bias), per row
+    w: jax.Array,         # [H, O]
+    budget: int,
+    activation: Callable[[jax.Array], jax.Array],
+    interpret: bool = False,
+) -> jax.Array:
+    """wincnt[r, o] = #slots b with m[r,b,o] == out_rows[r,o] and
+    scale[r,b] > 0. Summed over a key's rows by the caller, this is the
+    tie count the backward divides the cotangent by (exactly the XLA
+    path's tie-splitting semantics)."""
+    R, H = eq_rows.shape
+    O = w.shape[1]
+    B = budget
+    TR = _tile_rows(B, _SLOT_TILE_MAX)
+    grid = (_cdiv(R, TR),)
+
+    def kernel(ekg_ref, eq_ref, sc_ref, or_ref, w_ref, cnt_ref):
+        z = (ekg_ref[:].astype(jnp.float32).reshape(TR, B, H)
+             + eq_ref[:][:, None, :])
+        a = activation(z)
+        m = jax.lax.dot_general(
+            a.reshape(TR * B, H), w_ref[:].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(TR, B, O)
+        valid = sc_ref[:][:, :, None] > 0
+        win = (m == or_ref[:][:, None, :]) & valid
+        cnt_ref[:] = win.astype(jnp.float32).sum(axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, O), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, O), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, O), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, O), jnp.float32),
+        interpret=interpret,
+    )(ekg, eq_rows, scale, out_rows, w)
+
+
+def bucket_max_gemm_bwd(
+    ekg: jax.Array,       # [R*B, H]
+    eq_rows: jax.Array,   # [R, H]
+    scale: jax.Array,     # [R, B]
+    out_rows: jax.Array,  # [R, O] key-level max (pre-bias), per row
+    gsc_rows: jax.Array,  # [R, O] cotangent / tie count, per row
+    w: jax.Array,         # [H, O]
+    budget: int,
+    activation: Callable[[jax.Array], jax.Array],
+    interpret: bool = False,
+    gz_dtype=None,
+):
+    """Backward of the fused max path. Recomputes z, a, m per bucket and
+    routes the (already tie-divided) cotangent to winning slots:
+
+        g_m  = 1[m == out_rows] * valid * gsc_rows
+        g_w += a^T g_m            (accumulated in-kernel, MXU)
+        g_z  = vjp(act, z)(g_m w^T)
+
+    Returns (g_eq_rows [R, H] = sum_b g_z, g_z [R*B, H], g_w [H, O]).
+    g_z feeds the src-plan permute for g_ek (one slot-sized take — the
+    max path's single remaining slot permute) and, with edge features,
+    the per-edge cotangent."""
+    R, H = eq_rows.shape
+    O = w.shape[1]
+    B = budget
+    TR = _tile_rows(B, _SLOT_TILE_MAX)
+    grid = (_cdiv(R, TR),)
+    gz_dtype = gz_dtype or jnp.float32
+
+    def kernel(ekg_ref, eq_ref, sc_ref, or_ref, gr_ref, w_ref,
+               geq_ref, gz_ref, gw_ref):
+        z = (ekg_ref[:].astype(jnp.float32).reshape(TR, B, H)
+             + eq_ref[:][:, None, :])
+        a, vjp = jax.vjp(activation, z)
+        af = a.reshape(TR * B, H)
+        wf = w_ref[:].astype(jnp.float32)
+        m = jax.lax.dot_general(
+            af, wf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(TR, B, O)
+        valid = sc_ref[:][:, :, None] > 0
+        win = ((m == or_ref[:][:, None, :]) & valid).astype(jnp.float32)
+        # mask the grid's padded tail rows: their garbage would pollute
+        # the in-kernel g_w reduction (per-row outputs are sliced away;
+        # where, not *, because 0 * NaN = NaN)
+        rows_left = R - pl.program_id(0) * TR
+        rmask = jax.lax.broadcasted_iota(jnp.int32, (TR, 1, 1), 0) \
+            < rows_left
+        g_m = jnp.where(rmask, win * gr_ref[:][:, None, :],
+                        0.0).reshape(TR * B, O)
+        smask = jax.lax.broadcasted_iota(jnp.int32, (TR * B, 1), 0) \
+            < rows_left * B
+        gw_part = jax.lax.dot_general(
+            jnp.where(smask, af, 0.0), g_m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g_a = jax.lax.dot_general(
+            g_m, wf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(TR, B, H)
+        (g_z,) = vjp(g_a)
+        geq_ref[:] = g_z.sum(axis=1)
+        gz_ref[:] = g_z.reshape(TR * B, H).astype(gz_dtype)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            gw_ref[:] = jnp.zeros_like(gw_ref)
+
+        gw_ref[:] += gw_part
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, O), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, O), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, O), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TR, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR * B, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, O), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, H), jnp.float32),
+            jax.ShapeDtypeStruct((R * B, H), gz_dtype),
+            jax.ShapeDtypeStruct((H, O), jnp.float32),
+        ),
+        interpret=interpret,
+    )(ekg, eq_rows, scale, out_rows, gsc_rows, w)
+
+
 def bucket_scaled_reduce(
     values: jax.Array,    # [R*B, H]
     scale: jax.Array,     # [R, B]
