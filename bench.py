@@ -120,16 +120,54 @@ def main(args):
 
         set_remat(True)
 
-    model = SIRModel(hidden_dim=HIDDEN, output_dim=NUM_CLASSES,
-                     num_layers=LAYERS, dropout=0.2, norm="bn",
-                     residual=True, feat_dropout=0.2, agg_type="sym")
+    efeats = None
+    if args.edge_features:
+        # SIREConv lane (VERDICT r4 item 8): the same 3-layer step with
+        # the fused-edge path (basis De=16, projection folded into the
+        # kernels). Conv-internal dropout is 0 so the fused route
+        # engages (edge-term dropout would need the generic path — the
+        # reference shares one rate across eq/ek/e); the between-layer
+        # dropout/BN/residual stay as in the main lane.
+        import flax.linen as nn
+
+        from sir_gcn_tpu.models import Linear as SLinear
+        from sir_gcn_tpu.models import SIREConv, get_norm
+        from experiments.ogbn_arxiv.model import leaky_relu02
+
+        DE = 16
+
+        class SIREBenchModel(nn.Module):
+            @nn.compact
+            def __call__(self, graph, feats, efeats, *,
+                         deterministic=True):
+                drop = nn.Dropout(0.2, deterministic=deterministic)
+                x = SLinear(HIDDEN, name="embedding")(feats)
+                for i in range(LAYERS):
+                    resid = x
+                    x = SIREConv(HIDDEN, HIDDEN, leaky_relu02,
+                                 dropout=0.0, agg_type="sym",
+                                 name=f"conv_{i}")(
+                        graph, x, efeats, deterministic=deterministic)
+                    x = get_norm("bn", True, HIDDEN)(
+                        graph, x, deterministic=deterministic)
+                    x = drop(leaky_relu02(x)) + resid
+                return SLinear(NUM_CLASSES, name="readout")(x)
+
+        model = SIREBenchModel()
+        efeats = jnp.asarray(rng.normal(size=(graph.e_pad, DE)),
+                             jnp.float32)
+    else:
+        model = SIRModel(hidden_dim=HIDDEN, output_dim=NUM_CLASSES,
+                         num_layers=LAYERS, dropout=0.2, norm="bn",
+                         residual=True, feat_dropout=0.2, agg_type="sym")
     feats = jnp.asarray(rng.normal(size=(graph.n_pad, FEAT_DIM)),
                         jnp.float32)
     labels = jnp.asarray(rng.integers(0, NUM_CLASSES, graph.n_pad),
                          jnp.int32)
 
     key = jax.random.PRNGKey(0)
-    variables = model.init(key, graph, feats)
+    margs = (graph, feats) if efeats is None else (graph, feats, efeats)
+    variables = model.init(key, *margs)
     tx = make_adamw(1e-2, 1e-3)
     state = init_state(variables, tx)
 
@@ -137,7 +175,8 @@ def main(args):
         def loss_fn(params):
             logits, upd = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                graph, feats, deterministic=False,
+                *((graph, feats) if efeats is None
+                  else (graph, feats, efeats)), deterministic=False,
                 rngs={"dropout": rng}, mutable=["batch_stats"],
             )
             logp = jax.nn.log_softmax(logits)
@@ -202,11 +241,20 @@ def main(args):
     # stream roofline (VERDICT r3 item 5).
     d_slots = int(graph.dst_plan.num_slots)
     s_slots = int(graph.src_plan.num_slots)
-    floor = LAYERS * (d_slots + 2 * s_slots) * 3.9e-9 + 8e-3
+    if args.edge_features:
+        # fused-edge take model: the basis gathers add one dst-slot take
+        # (fwd) and one src-slot take (bwd) per layer — row-bound at the
+        # same ~3.9 ns/row (64 B rows cost what 256 B rows cost;
+        # ROADMAP round-3 take cost model), so the SIREConv floor is
+        # (2d + 3s)/(d + 2s) ~ 5/3 of the linear floor
+        floor = LAYERS * (2 * d_slots + 3 * s_slots) * 3.9e-9 + 8e-3
+    else:
+        floor = LAYERS * (d_slots + 2 * s_slots) * 3.9e-9 + 8e-3
     floor_fraction = floor / dt
     log(f"measured-floor fraction: {floor_fraction:.2f} "
         f"((1 x {d_slots} dst + 2 x {s_slots} src slots)/layer "
-        f"x 3.9 ns + ~8 ms fixed)")
+        f"x 3.9 ns + ~8 ms fixed"
+        + (", + basis takes" if args.edge_features else "") + ")")
 
     # HBM roofline estimate (see module docstring)
     bytes_per_edge_layer = (2 + 4) * HIDDEN * 4
@@ -214,7 +262,9 @@ def main(args):
     roofline = hbm_bw / bytes_per_edge_layer
 
     record = {
-        "metric": "arxiv_sir_fwd_bwd_edge_layers_per_s",
+        "metric": ("arxiv_sire_fused_edge_layers_per_s"
+                   if args.edge_features
+                   else "arxiv_sir_fwd_bwd_edge_layers_per_s"),
         "value": round(edge_layers_per_s, 1),
         "unit": "edge-layers/s/chip",
         "vs_baseline": round(edge_layers_per_s / roofline, 4),
@@ -233,6 +283,9 @@ if __name__ == "__main__":
                    default="random")
     p.add_argument("--reorder", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--edge-features", action="store_true",
+                   help="SIREConv lane: fused-edge path (basis De=16), "
+                        "same JSON schema, own floor model")
     p.add_argument("--windows", type=int, default=3,
                    help="timed 10-step windows; min is reported")
     cli = p.parse_args()

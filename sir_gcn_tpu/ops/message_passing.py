@@ -29,22 +29,17 @@ import jax.numpy as jnp
 from ..graph import GraphBatch
 from . import segment as seg
 
-# Scale guards (measured bounds: ROADMAP "Measured bounds for the
-# XLA-composed edge/max variants" + the round-4 re-measurement,
-# tools/edge_compile_probe.py on a v5e chip). At full-graph scale the
-# edge-feature (SIREConv) fwd+bwd step is usable but expensive to
-# compile: a SINGLE aggregate step at 2.5M edges x H=128 compiles in
-# ~90-170 s (once per container under the persistent compile cache) and
-# runs at ~120 ms/iter; chaining several such steps inside ONE jit
-# (fori_loop/scan over grad iterations) is what compiles pathologically
-# (>20 min, r3's ">25 min" repro — do not do that). Crossing
-# EDGE_FEATURE_EDGE_LIMIT warns once per graph size with those numbers.
-# Max aggregation compiles and runs but pays the per-edge W_R GEMM
-# (reference models/conv.py:47): 108.89 ms/iter at 2.5M edges / H=96,
-# ~8x the linear-aggregation path — crossing MAX_AGG_WARN_EDGES warns
-# once with that number. No reference workload runs either variant at
-# full-graph scale (SIREConv: ZINC/molhiv molecules of ~23-40 nodes;
-# max: heterophilous graphs <= ~1M edges).
+# Scale guards. Since round 5 both expensive variants have fused Pallas
+# fast routes on TPU (tools/r5bench.py, same-session A/B at 2.5M padded
+# edges / H=96->128): the fused-edge path (e_basis/w_edge) runs 53.1
+# ms/iter chained (1.62x the 32.9 ms no-edge floor — at the 5-take cost
+# model) with a ~45 s compile and chains gradient steps fine; the
+# Pallas max kernels run 54.3 ms/iter chained / 79-80 ms single-dispatch
+# vs the XLA-composed 152.7-154.5 ms. The warnings below fire only when
+# the OLD compositions actually run — the generic [E_pad, H]-projection
+# edge path (still ~90-170 s compile, ~127 ms/iter, and >15-min compile
+# if grad steps are chained in one jit — reconfirmed round 5) and the
+# XLA-composed max fallback (CPU, or a closure-capturing sigma).
 EDGE_FEATURE_EDGE_LIMIT = 500_000
 MAX_AGG_WARN_EDGES = 500_000
 _ALLOW_LARGE_EDGE_AGG = False
@@ -88,19 +83,26 @@ def _scale_guards(graph, agg_type: str, has_edge_feats: bool,
         if e_pad not in _EDGE_AGG_WARNED:  # once per graph size
             _EDGE_AGG_WARNED.add(e_pad)
             warnings.warn(
-                f"sir_aggregate with edge features on a graph with "
-                f"{e_pad} padded edges (> {EDGE_FEATURE_EDGE_LIMIT}): "
-                f"expect a long FIRST XLA compile at this scale "
-                f"(measured ~90-170 s for one aggregate at 2.5M edges "
-                f"on a v5e; the persistent compile cache makes repeat "
-                f"processes cheap) and ~2x the no-edge step cost at "
-                f"runtime (~120 ms/iter measured — ROADMAP.md). Do NOT "
-                f"chain multiple gradient steps inside one jit at this "
-                f"scale (lax.scan/fori_loop training loops included): "
-                f"that shape compiles pathologically (>20 min). Jit ONE "
-                f"train step and loop in Python instead — see "
-                f"MIGRATION.md 'SIREConv at full-graph scale'. "
-                f"Call sir_gcn_tpu.ops.allow_large_edge_aggregate(True) "
+                f"sir_aggregate with edge features is using the GENERIC "
+                f"[E_pad, H]-projection path on a graph with {e_pad} "
+                f"padded edges (> {EDGE_FEATURE_EDGE_LIMIT}): expect a "
+                f"long FIRST XLA compile at this scale (measured "
+                f"~90-170 s at 2.5M edges on a v5e; the persistent "
+                f"compile cache makes repeat processes cheap) and "
+                f"~2-2.4x the no-edge step cost (~127 ms single-dispatch "
+                f"— ROADMAP.md). Do NOT chain multiple gradient steps "
+                f"inside one jit on THIS path (lax.scan/fori_loop "
+                f"training loops included): that shape compiles "
+                f"pathologically (>15 min, reconfirmed round 5). Jit ONE "
+                f"train step and loop in Python — MIGRATION.md "
+                f"'SIREConv at full-graph scale'. On TPU the FUSED edge "
+                f"route avoids all of this: pass raw edge features + "
+                f"W_E as (e_basis, w_edge) — SIREConv's default Linear "
+                f"encoder with inactive edge dropout routes there "
+                f"automatically — measured 53.1 ms/iter chained (1.62x "
+                f"the no-edge floor), ~45 s compile, and chained grad "
+                f"steps compile fine. Call "
+                f"sir_gcn_tpu.ops.allow_large_edge_aggregate(True) "
                 f"to silence this warning.",
                 stacklevel=3)
     if agg_type == "max" and not pallas_max and e_pad > MAX_AGG_WARN_EDGES:
@@ -108,11 +110,17 @@ def _scale_guards(graph, agg_type: str, has_edge_feats: bool,
             _MAX_AGG_WARNED.add(e_pad)
             warnings.warn(
                 f"max aggregation on a graph with {e_pad} padded edges "
-                f"pays a per-edge W_R matmul before the reduce "
-                f"(reference models/conv.py:47): measured 108.89 ms/iter "
-                f"at 2.5M edges / H=96 on a v5e chip, ~8x the linear-"
-                f"aggregation path (ROADMAP.md). Consider agg_type "
-                f"'sum'/'mean'/'sym' at full-graph scale.",
+                f"is using the XLA-COMPOSED slot path (CPU backend, or "
+                f"a closure-capturing sigma): the per-edge W_R matmul "
+                f"before the reduce (reference models/conv.py:47) "
+                f"measured 152.7-154.5 ms single-dispatch at 2.5M edges "
+                f"/ H=96 on a v5e. On TPU with a pallas-compatible "
+                f"sigma the fused Pallas max kernels run instead "
+                f"(automatic, no flag): 54 ms/iter chained, ~1.7x the "
+                f"linear path and 1.9x faster than this fallback "
+                f"(ROADMAP.md round 5). Consider agg_type "
+                f"'sum'/'mean'/'sym' at full-graph scale if neither "
+                f"applies.",
                 stacklevel=3)
 
 

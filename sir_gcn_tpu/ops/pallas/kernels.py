@@ -387,6 +387,15 @@ def bucket_bcast_act_reduce_bwd(
     )(ekg, eq_rows, scale, g_rows)
 
 
+# the fused-edge kernels carry the egr block (lane-padded to 128 in
+# VMEM regardless of De) plus the in-kernel projection result on top of
+# the linear kernels' working set — measured on v5e at arxiv scale: the
+# default 4096-slot tile overflows scoped VMEM by ~0.7 MB at a B=14
+# bucket ("Scoped allocation 16.67M ... limit 16.00M"), so they budget
+# 2048 slots per tile like the max kernels
+_SLOT_TILE_EDGE = 2048
+
+
 def bucket_edge_act_reduce2(
     ekg: jax.Array,       # [R*B, H] gathered key-side values (slot order)
     egr: jax.Array,       # [R*B, De] raw edge-basis rows (slot order)
@@ -414,7 +423,7 @@ def bucket_edge_act_reduce2(
     R, H = eq_rows.shape
     De = egr.shape[1]
     B = budget
-    TR = _tile_rows(B)
+    TR = _tile_rows(B, _SLOT_TILE_EDGE)
     grid = (_cdiv(R, TR),)
 
     def kernel(ekg_ref, egr_ref, eq_ref, sc_ref, we_ref, out_ref, s_ref):
@@ -484,7 +493,7 @@ def bucket_edge_src_bwd(
     R, H = ek_rows.shape
     De = egr.shape[1]
     B = budget
-    TR = _tile_rows(B)
+    TR = _tile_rows(B, _SLOT_TILE_EDGE)
     grid = (_cdiv(R, TR),)
 
     def kernel(eqg_ref, egr_ref, ek_ref, sc_ref, gg_ref, we_ref,

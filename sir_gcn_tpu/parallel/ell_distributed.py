@@ -255,6 +255,7 @@ def make_sharded_sir_aggregate_pallas(
     edge_dtype=None,
     interpret: bool = False,
     elide_unit_collectives: bool = True,
+    per_bucket_takes: bool = False,
 ):
     """Fused-kernel variant of :func:`make_sharded_sir_aggregate` for
     ELEMENTWISE activations: each shard's local compute runs the same
@@ -271,7 +272,16 @@ def make_sharded_sir_aggregate_pallas(
     the cotangent ``psum_scatter`` stays f32 (it accumulates). On a
     1-device mesh axis both collectives are provably identities and are
     elided at trace time (``elide_unit_collectives=False`` restores the
-    literal program for A/B measurement — tools/r4bench.py)."""
+    literal program for A/B measurement — tools/r4bench.py).
+
+    ``per_bucket_takes`` is the round-5 pre-registered scheduling
+    experiment (VERDICT r4 item 5): instead of gathering the full
+    [S, H] slot table once and slicing it per budget bucket (whose
+    sublane-misaligned slice boundaries XLA may realign with per-bucket
+    copies in THIS program shape — the r4 HLO finding), slice the int32
+    index vector per bucket and issue one take per bucket, forcing the
+    gather to fuse into each kernel input in any program shape. Total
+    gathered rows are identical. Measured by tools/r5sched.py."""
     from ..ops.ell import _bucket_offsets
     from ..ops.message_passing import get_edge_dtype
     from ..ops.pallas import bucket_bcast_act_reduce2, bucket_src_bwd
@@ -316,18 +326,28 @@ def make_sharded_sir_aggregate_pallas(
             return x
         return jnp.pad(x, ((0, 0), (0, hp - h)))
 
+    def bucket_slices(table, idx, offs):
+        """Per-bucket gathered blocks: either slice one big take (the
+        default program shape) or take per bucket-sliced indices
+        (``per_bucket_takes`` — see docstring)."""
+        if per_bucket_takes:
+            return [jnp.take(table, idx[so:so + b * nr], axis=0)
+                    for b, nr, so, ro in offs]
+        full = jnp.take(table, idx, axis=0)
+        return [full[so:so + b * nr] for b, nr, so, ro in offs]
+
     def local_fwd2(eq_l, ek_l, sfg_l):
         h = eq_l.shape[-1]
         eq_l, ek_l = lane_pad(eq_l), lane_pad(ek_l)
         dplan = _unstack_plan(sfg_l.dst_plan)
         ek_full = gather_full(ek_l)
-        ekg = jnp.take(ek_full, sfg_l.slot_srcnode[0], axis=0)
+        ekgs = bucket_slices(ek_full, sfg_l.slot_srcnode[0], offs_d)
         eq_rows = jnp.take(eq_l, dplan.row_key, axis=0)
         s = sfg_l.slot_scale[0].astype(jnp.float32)
         rows, srows = [], []
-        for b, nr, so, ro in offs_d:
+        for (b, nr, so, ro), ekg_b in zip(offs_d, ekgs):
             r, sr = bucket_bcast_act_reduce2(
-                ekg[so:so + b * nr], eq_rows[ro:ro + nr],
+                ekg_b, eq_rows[ro:ro + nr],
                 s[so:so + b * nr].reshape(nr, b), b, activation,
                 interpret=interpret)
             rows.append(r)
@@ -339,19 +359,20 @@ def make_sharded_sir_aggregate_pallas(
         h = eq_l.shape[-1]
         g_l, eq_l, ek_l = lane_pad(g_l), lane_pad(eq_l), lane_pad(ek_l)
         splan = _unstack_plan(sfg_l.src_plan)
-        eqg = jnp.take(cast(eq_l), sfg_l.src_slot_dstnode[0], axis=0)
-        gg = jnp.take(cast(g_l), sfg_l.src_slot_dstnode[0], axis=0)
+        eqgs = bucket_slices(cast(eq_l), sfg_l.src_slot_dstnode[0],
+                             offs_s)
+        ggs = bucket_slices(cast(g_l), sfg_l.src_slot_dstnode[0], offs_s)
         # recomputes the forward's gather_full — CSE'd when fwd+bwd
         # compile into one step program
         ek_full = gather_full(ek_l)
         ek_rows = jnp.take(ek_full, splan.row_key, axis=0)
         s = sfg_l.src_slot_scale[0].astype(jnp.float32)
         rows = []
-        for b, nr, so, ro in offs_s:
+        for (b, nr, so, ro), eqg_b, gg_b in zip(offs_s, eqgs, ggs):
             r, _ = bucket_src_bwd(
-                eqg[so:so + b * nr], ek_rows[ro:ro + nr],
+                eqg_b, ek_rows[ro:ro + nr],
                 s[so:so + b * nr].reshape(nr, b),
-                gg[so:so + b * nr], b, activation, interpret=interpret)
+                gg_b, b, activation, interpret=interpret)
             rows.append(r)
         g_ek_full = splan.finalize_rows_sum(cat(rows))[:, :h]
         return scatter_back(g_ek_full)
