@@ -782,6 +782,7 @@ def make_halo_sir_aggregate_pallas(
     edge_dtype=None,
     interpret: bool = False,
     elide_unit_collectives: bool = True,
+    per_bucket_takes: bool = False,
 ):
     """Fused-kernel variant of :func:`make_halo_sir_aggregate` for
     ELEMENTWISE activations: interior and boundary stages run the same
@@ -797,7 +798,17 @@ def make_halo_sir_aggregate_pallas(
     1-device mesh axis the provably-identity collectives are elided
     (``elide_unit_collectives=False`` restores them for A/B
     measurement). ``edge_dtype=None`` follows the global
-    ``set_edge_dtype``."""
+    ``set_edge_dtype``.
+
+    ``per_bucket_takes`` slices the int32 index vectors per budget
+    bucket and issues one take per bucket instead of slicing one big
+    gathered [S, H] table. On the SHARDED path this closed the
+    program-shape residual (86.0% -> 97.7% @1 — ell_distributed);
+    measured HERE it is NEGATIVE (tools/r5sched.py --halo, same
+    session: halo@1 15.65 ms / 88.1% big-table vs 16.54 ms / 83.4%
+    per-bucket — the halo path's four smaller plan families fragment
+    into takes XLA schedules worse than its slices), so the default
+    stays OFF for halo."""
     from ..ops.ell import _bucket_offsets
     from ..ops.message_passing import get_edge_dtype
     from ..ops.pallas import bucket_bcast_act_reduce2, bucket_src_bwd
@@ -827,11 +838,19 @@ def make_halo_sir_aggregate_pallas(
         return (hfg_l.scale_i[0].astype(jnp.float32),
                 hfg_l.scale_b[0].astype(jnp.float32))
 
-    def stage2(ekg, eq_rows, s, offs, plan):
+    def gathered(table, idx, offs):
+        """Per-bucket gathered blocks (see ``per_bucket_takes``)."""
+        if per_bucket_takes:
+            return [jnp.take(table, idx[so:so + b * nr], axis=0)
+                    for b, nr, so, ro in offs]
+        full = jnp.take(table, idx, axis=0)
+        return [full[so:so + b * nr] for b, nr, so, ro in offs]
+
+    def stage2(ekgs, eq_rows, s, offs, plan):
         rows, srows = [], []
-        for b, nr, so, ro in offs:
+        for (b, nr, so, ro), ekg_b in zip(offs, ekgs):
             r, sr = bucket_bcast_act_reduce2(
-                ekg[so:so + b * nr], eq_rows[ro:ro + nr],
+                ekg_b, eq_rows[ro:ro + nr],
                 s[so:so + b * nr].reshape(nr, b), b, activation,
                 interpret=interpret)
             rows.append(r)
@@ -862,21 +881,21 @@ def make_halo_sir_aggregate_pallas(
                                   unit=unit))
         eq_l, ek_l = lane_pad(eq_l), lane_pad(ek_l)
         # interior stage has no dependency on the collective -> overlaps
-        ekg_i = jnp.take(cast(ek_l), hfg_l.slot_src_local[0], axis=0)
+        ekg_i = gathered(cast(ek_l), hfg_l.slot_src_local[0], offs_di)
         out_i, sb_i = stage2(ekg_i, jnp.take(eq_l, dpi.row_key, axis=0),
                              s_i, offs_di, dpi)
-        ekg_b = jnp.take(halo, hfg_l.slot_src_halo[0], axis=0)
+        ekg_b = gathered(halo, hfg_l.slot_src_halo[0], offs_db)
         out_b, sb_b = stage2(ekg_b, jnp.take(eq_l, dpb.row_key, axis=0),
                              s_b, offs_db, dpb)
         return (out_i + out_b)[:, :h], (sb_i + sb_b)[:, :h]
 
-    def src_stage(eqg, rows_tbl, s, gg, offs, plan):
+    def src_stage(eqgs, rows_tbl, s, ggs, offs, plan):
         rows = []
-        for b, nr, so, ro in offs:
+        for (b, nr, so, ro), eqg_b, gg_b in zip(offs, eqgs, ggs):
             r, _ = bucket_src_bwd(
-                eqg[so:so + b * nr], rows_tbl[ro:ro + nr],
+                eqg_b, rows_tbl[ro:ro + nr],
                 s[so:so + b * nr].reshape(nr, b),
-                gg[so:so + b * nr], b, activation, interpret=interpret)
+                gg_b, b, activation, interpret=interpret)
             rows.append(r)
         return plan.finalize_rows_sum(cat(rows))
 
@@ -896,16 +915,16 @@ def make_halo_sir_aggregate_pallas(
         g_l, eq_l, ek_l = lane_pad(g_l), lane_pad(eq_l), lane_pad(ek_l)
 
         # interior: z = eq[dst_e] + ek_l[src rows], reduce by local src
-        eqg = jnp.take(cast(eq_l), hfg_l.src_dstnode_i[0], axis=0)
-        gg = jnp.take(cast(g_l), hfg_l.src_dstnode_i[0], axis=0)
+        eqg = gathered(cast(eq_l), hfg_l.src_dstnode_i[0], offs_si)
+        gg = gathered(cast(g_l), hfg_l.src_dstnode_i[0], offs_si)
         g_ek = src_stage(eqg, jnp.take(ek_l, spi.row_key, axis=0),
                          s_si, gg, offs_si, spi)[:, :h]
 
         # boundary: z = eq[dst_e] + halo[key rows], reduce into the halo
         # table, return cotangent blocks to their senders (at the
         # caller's width — no padded columns over the wire)
-        eqg_b = jnp.take(cast(eq_l), hfg_l.halo_dstnode[0], axis=0)
-        gg_b = jnp.take(cast(g_l), hfg_l.halo_dstnode[0], axis=0)
+        eqg_b = gathered(cast(eq_l), hfg_l.halo_dstnode[0], offs_hp)
+        gg_b = gathered(cast(g_l), hfg_l.halo_dstnode[0], offs_hp)
         g_halo = src_stage(eqg_b, jnp.take(halo, hp.row_key, axis=0),
                            s_hp, gg_b, offs_hp, hp)[:, :h]
         ret = _return_exchange(g_halo, axis, unit)

@@ -96,20 +96,40 @@ def main():
         "single-device Pallas fast path",
         lambda a, b: ell_sir_aggregate(fg, a, b, jnp.tanh, "sym",
                                        static_scale=True))
-    t0 = time.time()
-    sfg = build_sharded_fast_graph(g, 1, agg_type="sym")
-    log(f"sharded fast graph @1: {time.time() - t0:.1f}s")
     mesh = make_mesh((1,), ("graph",), devices=jax.devices()[:1])
-
     results = {"single_ms": round(t_single, 2)}
-    for pbt in (False, True):
-        f_p = make_sharded_sir_aggregate_pallas(
-            sfg, jnp.tanh, mesh, per_bucket_takes=pbt)
-        t = timed_grad(f"sharded @1 Pallas (per_bucket_takes={pbt})", f_p)
-        eff = t_single / t * 100
-        log(f"  -> per-chip efficiency vs single-device: {eff:.1f}%")
-        results[f"sharded_pbt{int(pbt)}_ms"] = round(t, 2)
-        results[f"sharded_pbt{int(pbt)}_eff_pct"] = round(eff, 1)
+
+    if "--halo" in sys.argv:
+        from sir_gcn_tpu.parallel.halo import (
+            build_halo_fast_graph,
+            make_halo_sir_aggregate_pallas,
+        )
+
+        t0 = time.time()
+        hfg = build_halo_fast_graph(g, 1, agg_type="sym")
+        log(f"halo fast graph @1: {time.time() - t0:.1f}s")
+        for pbt in (False, True):
+            f_h = make_halo_sir_aggregate_pallas(
+                hfg, jnp.tanh, mesh, per_bucket_takes=pbt)
+            t = timed_grad(f"halo @1 Pallas (per_bucket_takes={pbt})",
+                           f_h)
+            eff = t_single / t * 100
+            log(f"  -> per-chip efficiency vs single-device: {eff:.1f}%")
+            results[f"halo_pbt{int(pbt)}_ms"] = round(t, 2)
+            results[f"halo_pbt{int(pbt)}_eff_pct"] = round(eff, 1)
+    else:
+        t0 = time.time()
+        sfg = build_sharded_fast_graph(g, 1, agg_type="sym")
+        log(f"sharded fast graph @1: {time.time() - t0:.1f}s")
+        for pbt in (False, True):
+            f_p = make_sharded_sir_aggregate_pallas(
+                sfg, jnp.tanh, mesh, per_bucket_takes=pbt)
+            t = timed_grad(f"sharded @1 Pallas (per_bucket_takes={pbt})",
+                           f_p)
+            eff = t_single / t * 100
+            log(f"  -> per-chip efficiency vs single-device: {eff:.1f}%")
+            results[f"sharded_pbt{int(pbt)}_ms"] = round(t, 2)
+            results[f"sharded_pbt{int(pbt)}_eff_pct"] = round(eff, 1)
 
     import json
 
