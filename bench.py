@@ -171,7 +171,7 @@ def main(args):
     tx = make_adamw(1e-2, 1e-3)
     state = init_state(variables, tx)
 
-    def train_step(state, rng, feats, labels):
+    def train_step(state, rng, feats, labels, efeats):
         def loss_fn(params):
             logits, upd = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -195,17 +195,25 @@ def main(args):
 
     # chain steps inside one executable: the tunneled runtime makes
     # per-dispatch timing unreliable, and a final device->host fetch is the
-    # only reliable completion barrier
+    # only reliable completion barrier. feats/labels/efeats are EXPLICIT
+    # arguments: closure constants are serialized into the relay's
+    # remote-compile request, and the edge lane's 160 MB efeats pushed it
+    # over the endpoint's body limit (HTTP 413 — round 5)
     @jax.jit
-    def run_steps(state):
+    def run_steps_args(state, feats, labels, *e):
         def body(i, carry):
             st, _ = carry
             st, loss = train_step(st, jax.random.fold_in(key, i),
-                                  feats, labels)
+                                  feats, labels, e[0] if e else None)
             return (st, loss)
         st, loss = jax.lax.fori_loop(0, steps, body,
                                      (state, jnp.zeros(())))
         return st, loss
+
+    def run_steps(state):
+        if efeats is None:
+            return run_steps_args(state, feats, labels)
+        return run_steps_args(state, feats, labels, efeats)
 
     log(f"compiling on {jax.devices()[0]} ...")
     t0 = time.time()
@@ -243,11 +251,14 @@ def main(args):
     s_slots = int(graph.src_plan.num_slots)
     if args.edge_features:
         # fused-edge take model: the basis gathers add one dst-slot take
-        # (fwd) and one src-slot take (bwd) per layer — row-bound at the
-        # same ~3.9 ns/row (64 B rows cost what 256 B rows cost;
-        # ROADMAP round-3 take cost model), so the SIREConv floor is
-        # (2d + 3s)/(d + 2s) ~ 5/3 of the linear floor
-        floor = LAYERS * (2 * d_slots + 3 * s_slots) * 3.9e-9 + 8e-3
+        # (fwd) and one src-slot take (bwd) per layer. Unlike the
+        # >=192 B node-table rows (3.9 ns/row), the 64 B basis rows
+        # measure ~2.0 ns/row (implied by the first lane run: 132.1 ms
+        # vs the linear lane's 101.9 => ~10 ms/layer for 2 x 2.66M
+        # basis rows — narrower rows DO get cheaper below the 192 B
+        # class, refining the round-3 row-bound model)
+        floor = LAYERS * ((d_slots + 2 * s_slots) * 3.9e-9
+                          + (d_slots + s_slots) * 2.0e-9) + 8e-3
     else:
         floor = LAYERS * (d_slots + 2 * s_slots) * 3.9e-9 + 8e-3
     floor_fraction = floor / dt
