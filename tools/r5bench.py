@@ -52,6 +52,13 @@ def main():
     ap.add_argument("--hidden", type=int, default=96)
     ap.add_argument("--basis-dim", type=int, default=16)
     ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--serial-chain", action="store_true",
+                    help="feed EVERY cotangent back into the carry (a "
+                         "real training step's dependence structure) — "
+                         "the default chain consumes only one element "
+                         "of the non-eq grads, which lets XLA overlap "
+                         "an iteration's src-backward with the next "
+                         "forward")
     cli = ap.parse_args()
 
     import jax
@@ -159,14 +166,33 @@ def main():
         # the whole backward pass alive — without this, XLA DCEs the
         # unused g_ek/g_we/g_e chains and the chain measures a
         # g_eq-only backward (caught in-session round 5)
-        def chain(*arrs):
-            def body(i, carry):
-                a_c, acc = carry
-                gs = gradfn(a_c, *arrs[1:])
-                keep = sum(g.reshape(-1)[0] for g in gs)
-                return (a_c + 1e-20 * gs[0], acc + keep)
-            return jax.lax.fori_loop(0, K, body,
-                                     (arrs[0], jnp.zeros(())))[1]
+        if cli.serial_chain:
+            # every grad feeds the next iteration's inputs, like a real
+            # optimizer step: no cross-iteration overlap possible
+            def chain(*arrs):
+                def body(i, carry):
+                    ins, acc = carry
+                    gs = gradfn(*ins)
+                    # map grads in order onto the next matching-shape
+                    # input (skips non-differentiated args like e_basis)
+                    upd = list(ins)
+                    gi = 0
+                    for j, x in enumerate(upd):
+                        if gi < len(gs) and gs[gi].shape == x.shape:
+                            upd[j] = x + 1e-20 * gs[gi]
+                            gi += 1
+                    return (tuple(upd), acc + gs[0][0, 0])
+                return jax.lax.fori_loop(
+                    0, K, body, (arrs, jnp.zeros(())))[1]
+        else:
+            def chain(*arrs):
+                def body(i, carry):
+                    a_c, acc = carry
+                    gs = gradfn(a_c, *arrs[1:])
+                    keep = sum(g.reshape(-1)[0] for g in gs)
+                    return (a_c + 1e-20 * gs[0], acc + keep)
+                return jax.lax.fori_loop(0, K, body,
+                                         (arrs[0], jnp.zeros(())))[1]
 
         fn = jax.jit(chain)
         t0 = time.time()

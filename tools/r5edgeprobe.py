@@ -73,8 +73,11 @@ def main():
     w = jnp.asarray(rng.normal(size=(g.n_pad, H)), jnp.float32)
     valid = g.edge_mask.astype(jnp.float32)
 
-    def loss(a, b, we):
-        return jnp.sum(f(a, b, eb, we, valid) * w)
+    # e_basis is an EXPLICIT argument: as a closure constant it gets
+    # serialized into the relay's remote-compile request and breaches
+    # its body limit (HTTP 413) and/or blows the compile (ROADMAP r5)
+    def loss(a, b, ebx, we):
+        return jnp.sum(f(a, b, ebx, we, valid) * w)
 
     v = cli.variant
     if v == "fwd":
@@ -84,10 +87,10 @@ def main():
     elif v == "grad_nowe":
         fn = jax.jit(jax.grad(loss, argnums=(0, 1)))
     else:
-        fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        fn = jax.jit(jax.grad(loss, argnums=(0, 1, 3)))
 
     t0 = time.time()
-    lowered = fn.lower(eq, ek, w_e)
+    lowered = fn.lower(eq, ek, eb, w_e)
     t_lower = time.time() - t0
     log(f"lowered in {t_lower:.1f}s")
     t0 = time.time()
@@ -97,7 +100,7 @@ def main():
     times = []
     for _ in range(4):
         t0 = time.time()
-        out = compiled(eq, ek, w_e)
+        out = compiled(eq, ek, eb, w_e)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     med = sorted(times[1:])[1] * 1e3
