@@ -61,10 +61,19 @@ class HeteroEdgeCountDataset:
     """Random graphs whose regression target is the number (or fraction) of
     heterophilous edges — edges whose endpoint classes differ
     (reference ``synthetic-datasets/hetero-edge-count/data.py:8-36``):
-    2..max_nodes nodes, edge count uniform in [n^2/4, n^2] (data.py:27-29,
-    ``dgl.rand_graph`` draws endpoints uniformly), node classes uniform in
-    [0, num_classes); ``normalize=True`` divides by the edge count
-    (data.py:20-21).
+    2..max_nodes nodes, edge count uniform in [n^2/4, n^2] (data.py:27-29),
+    node classes uniform in [0, num_classes); ``normalize=True`` divides
+    by the edge count (data.py:20-21).
+
+    Edges are ``num_edges`` DISTINCT ordered pairs (self-loops allowed),
+    matching ``dgl.rand_graph``'s without-replacement sampling — the
+    generator's n^2 cap on num_edges only makes sense for distinct-pair
+    sampling. Round-5 correction: earlier rounds drew endpoints
+    independently (parallel edges possible); the collapse rows
+    (GCN/GAT ~ target variance) and the exact rows (SIR ~ 1e-3) are
+    insensitive to the difference — their protocol results matched the
+    published values under either sampler — but the intermediate-quality
+    GIN row is sensitive to edge multiplicity (measured: see PARITY).
     """
 
     def __init__(self, max_nodes: int, num_classes: int,
@@ -79,8 +88,9 @@ class HeteroEdgeCountDataset:
             n = int(rng.integers(2, max_nodes + 1))
             e = int(rng.integers(n * n // 4, n * n + 1))
             e = max(e, 1)
-            src = rng.integers(0, n, e).astype(np.int32)
-            dst = rng.integers(0, n, e).astype(np.int32)
+            pairs = rng.choice(n * n, size=e, replace=False)
+            src = (pairs // n).astype(np.int32)
+            dst = (pairs % n).astype(np.int32)
             classes = rng.integers(0, num_classes, n).astype(np.int32)
             hetero = float(np.sum(classes[src] != classes[dst]))
             y = hetero / e if normalize else hetero
